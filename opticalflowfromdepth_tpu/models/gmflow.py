@@ -1,0 +1,569 @@
+"""GMFlow (adjusted) — TPU-native flax implementation (M2).
+
+Re-design of `adjusted_gmflow/gmflow/` (gmflow.py, backbone.py,
+transformer.py, matching.py, position.py, trident_conv.py, utils.py):
+
+  * CNN encoder to 1/8 (or 1/4+1/8 via weight-shared multi-stride trident
+    convs, `backbone.py:39-117`, `trident_conv.py:10-90`);
+  * sine positional embedding (`position.py:9-46`);
+  * 6-layer transformer of interleaved self/cross blocks with Swin-style
+    window split + alternating shifted windows and masks
+    (`transformer.py:19-322`);
+  * matching: global correlation softmax-argmax over all pairs
+    (`matching.py:7-36`) or windowed local correlation (`matching.py:39-83`);
+  * flow propagation by feature self-attention (`transformer.py:325-409`);
+  * multi-scale refinement with flow_warp and convex upsampling
+    (`gmflow.py:92-170`).
+
+TPU-first: NHWC/[B, L, C] token layout; all attention/correlation matmuls
+hit the MXU with f32 accumulation (`preferred_element_type`); bidirectional
+prediction by batch-dim feature swap exactly as `gmflow.py:115-117` /
+`matching.py:23-27`. For large images the [B, L, L] global-matching product
+is token-shardable over the mesh (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.geometry import pixel_grid
+from ..ops.sampling import flow_warp
+from .layers import Conv, InstanceNorm, kaiming_init
+from .raft import convex_upsample
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# backbone
+# ---------------------------------------------------------------------------
+
+class _ResBlock(nn.Module):
+    """GMFlow backbone residual block (bias-free convs, instance norm);
+    `backbone.py:6-36`."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.planes, (3, 3), self.stride, self.dilation,
+                 use_bias=False, dtype=self.dtype)(x)
+        y = nn.relu(InstanceNorm()(y))
+        y = Conv(self.planes, (3, 3), 1, self.dilation, use_bias=False,
+                 dtype=self.dtype)(y)
+        y = nn.relu(InstanceNorm()(y))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = Conv(self.planes, (1, 1), self.stride, dtype=self.dtype)(x)
+            x = InstanceNorm()(x)
+        return nn.relu(x + y)
+
+
+class CNNEncoder(nn.Module):
+    """`backbone.py:39-117` — features at 1/8 (num_scales=1) or
+    [1/8, 1/4] handled by a weight-shared trident conv (num_scales=2)."""
+    output_dim: int = 128
+    num_output_scales: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        dims = (64, 96, 128)
+        x = Conv(dims[0], (7, 7), 2, use_bias=False, dtype=self.dtype)(x)
+        x = nn.relu(InstanceNorm()(x))
+        for blk_dim, stride in ((dims[0], 1), (dims[1], 2)):
+            x = _ResBlock(blk_dim, stride, dtype=self.dtype)(x)
+            x = _ResBlock(blk_dim, 1, dtype=self.dtype)(x)
+        stride3 = 2 if self.num_output_scales == 1 else 1
+        x = _ResBlock(dims[2], stride3, dtype=self.dtype)(x)
+        x = _ResBlock(dims[2], 1, dtype=self.dtype)(x)
+        x = Conv(self.output_dim, (1, 1), dtype=self.dtype)(x)
+
+        if self.num_output_scales == 1:
+            return [x]
+        # trident: one weight, multiple strides (`trident_conv.py:64-72`)
+        kernel = self.param(
+            "trident_kernel", kaiming_init(),
+            (3, 3, self.output_dim, self.output_dim), jnp.float32)
+        strides = (1, 2, 4, 8)[: self.num_output_scales]
+        outs = []
+        for s in strides:
+            outs.append(jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(s, s), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        return outs  # high to low resolution
+
+
+# ---------------------------------------------------------------------------
+# position embedding & window utilities
+# ---------------------------------------------------------------------------
+
+def position_embedding_sine(h: int, w: int, num_pos_feats: int = 64,
+                            temperature: float = 10000.0) -> jnp.ndarray:
+    """[H, W, 2*num_pos_feats] sine embedding; `position.py:26-46`."""
+    scale = 2 * math.pi
+    y_embed = jnp.cumsum(jnp.ones((h, w), jnp.float32), axis=0)
+    x_embed = jnp.cumsum(jnp.ones((h, w), jnp.float32), axis=1)
+    eps = 1e-6
+    y_embed = y_embed / (y_embed[-1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
+
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+
+    pos_x = x_embed[:, :, None] / dim_t
+    pos_y = y_embed[:, :, None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[:, :, 0::2]),
+                       jnp.cos(pos_x[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    pos_y = jnp.stack([jnp.sin(pos_y[:, :, 0::2]),
+                       jnp.cos(pos_y[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+def split_feature(x: jnp.ndarray, num_splits: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*K*K, H/K, W/K, C]; `gmflow/utils.py:5-30`."""
+    b, h, w, c = x.shape
+    k = num_splits
+    x = x.reshape(b, k, h // k, k, w // k, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b * k * k, h // k, w // k, c)
+
+
+def merge_splits(x: jnp.ndarray, num_splits: int) -> jnp.ndarray:
+    """Inverse of split_feature; `gmflow/utils.py:33-52`."""
+    bk, hk, wk, c = x.shape
+    k = num_splits
+    b = bk // (k * k)
+    x = x.reshape(b, k, k, hk, wk, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, k * hk, k * wk, c)
+
+
+def feature_add_position(feature0, feature1, attn_splits: int, channels: int):
+    """Add sine position (inside each window when split); `utils.py:66-86`."""
+    if attn_splits > 1:
+        f0s = split_feature(feature0, attn_splits)
+        f1s = split_feature(feature1, attn_splits)
+        pos = position_embedding_sine(f0s.shape[1], f0s.shape[2],
+                                      channels // 2)
+        f0s = f0s + pos
+        f1s = f1s + pos
+        return merge_splits(f0s, attn_splits), merge_splits(f1s, attn_splits)
+    pos = position_embedding_sine(feature0.shape[1], feature0.shape[2],
+                                  channels // 2)
+    return feature0 + pos, feature1 + pos
+
+
+def shift_window_attn_mask(h: int, w: int, window_h: int, window_w: int,
+                           shift_h: int, shift_w: int) -> jnp.ndarray:
+    """Swin SW-MSA mask [K*K, win, win]; `transformer.py:19-43`."""
+    img_mask = jnp.zeros((1, h, w, 1), jnp.float32)
+    cnt = 0
+    for hs in (slice(0, h - window_h), slice(h - window_h, h - shift_h),
+               slice(h - shift_h, h)):
+        for ws in (slice(0, w - window_w), slice(w - window_w, w - shift_w),
+                   slice(w - shift_w, w)):
+            img_mask = img_mask.at[:, hs, ws, :].set(cnt)
+            cnt += 1
+    windows = split_feature(img_mask, w // window_w)
+    windows = windows.reshape(-1, window_h * window_w)
+    mask = windows[:, None, :] - windows[:, :, None]
+    return jnp.where(mask != 0, -100.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+def _full_attention(q, k, v):
+    """[B, L, C] single-head attention; `transformer.py:8-16`."""
+    c = q.shape[-1]
+    scores = jnp.einsum("blc,bmc->blm", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / (c ** 0.5)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("blm,bmc->blc", attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _split_window_attention(q, k, v, num_splits: int, with_shift: bool,
+                            h: int, w: int, attn_mask):
+    """Swin window attention; `transformer.py:46-105`."""
+    b, _, c = q.shape
+    wh, ww = h // num_splits, w // num_splits
+    q = q.reshape(b, h, w, c)
+    k = k.reshape(b, h, w, c)
+    v = v.reshape(b, h, w, c)
+
+    if with_shift:
+        sh, sw = wh // 2, ww // 2
+        q = jnp.roll(q, (-sh, -sw), axis=(1, 2))
+        k = jnp.roll(k, (-sh, -sw), axis=(1, 2))
+        v = jnp.roll(v, (-sh, -sw), axis=(1, 2))
+
+    qs = split_feature(q, num_splits).reshape(-1, wh * ww, c)
+    ks = split_feature(k, num_splits).reshape(-1, wh * ww, c)
+    vs = split_feature(v, num_splits).reshape(-1, wh * ww, c)
+
+    scores = jnp.einsum("blc,bmc->blm", qs, ks,
+                        preferred_element_type=jnp.float32) / (c ** 0.5)
+    if with_shift:
+        scores = scores + jnp.tile(attn_mask, (b, 1, 1))
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("blm,bmc->blc", attn.astype(vs.dtype), vs,
+                     preferred_element_type=jnp.float32).astype(vs.dtype)
+    out = merge_splits(out.reshape(-1, wh, ww, c), num_splits)
+    if with_shift:
+        out = jnp.roll(out, (wh // 2, ww // 2), axis=(1, 2))
+    return out.reshape(b, h * w, c)
+
+
+class TransformerLayer(nn.Module):
+    """Single attention layer (+FFN unless no_ffn); `transformer.py:108-185`."""
+    d_model: int = 128
+    no_ffn: bool = False
+    ffn_dim_expansion: int = 4
+    with_shift: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, source, target, h, w, attn_mask, attn_num_splits):
+        dense = lambda name: nn.Dense(self.d_model, use_bias=False,
+                                      dtype=self.dtype,
+                                      param_dtype=jnp.float32,
+                                      kernel_init=nn.initializers.xavier_uniform(),
+                                      name=name)
+        q = dense("q_proj")(source)
+        k = dense("k_proj")(target)
+        v = dense("v_proj")(target)
+
+        if attn_num_splits > 1:
+            message = _split_window_attention(
+                q, k, v, attn_num_splits, self.with_shift, h, w, attn_mask)
+        else:
+            message = _full_attention(q, k, v)
+
+        message = dense("merge")(message)
+        message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
+
+        if not self.no_ffn:
+            y = jnp.concatenate([source, message], axis=-1)
+            y = nn.Dense(self.d_model * 2 * self.ffn_dim_expansion,
+                         use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32,
+                         kernel_init=nn.initializers.xavier_uniform())(y)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32,
+                         kernel_init=nn.initializers.xavier_uniform())(y)
+            message = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+        return source + message
+
+
+class TransformerBlock(nn.Module):
+    """self-attn + cross-attn-ffn; `transformer.py:188-241`."""
+    d_model: int = 128
+    ffn_dim_expansion: int = 4
+    with_shift: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, source, target, h, w, attn_mask, attn_num_splits):
+        source = TransformerLayer(
+            self.d_model, no_ffn=True, with_shift=self.with_shift,
+            ffn_dim_expansion=self.ffn_dim_expansion, dtype=self.dtype,
+            name="self_attn")(source, source, h, w, attn_mask,
+                              attn_num_splits)
+        source = TransformerLayer(
+            self.d_model, with_shift=self.with_shift,
+            ffn_dim_expansion=self.ffn_dim_expansion, dtype=self.dtype,
+            name="cross_attn_ffn")(source, target, h, w, attn_mask,
+                                   attn_num_splits)
+        return source
+
+
+class FeatureTransformer(nn.Module):
+    """6 interleaved blocks over the concatenated pair; `transformer.py:244-322`."""
+    num_layers: int = 6
+    d_model: int = 128
+    ffn_dim_expansion: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature0, feature1, attn_num_splits: int):
+        b, h, w, c = feature0.shape
+        f0 = feature0.reshape(b, h * w, c)
+        f1 = feature1.reshape(b, h * w, c)
+
+        if attn_num_splits > 1:
+            wh, ww = h // attn_num_splits, w // attn_num_splits
+            attn_mask = shift_window_attn_mask(h, w, wh, ww, wh // 2, ww // 2)
+        else:
+            attn_mask = None
+
+        concat0 = jnp.concatenate([f0, f1], axis=0)  # [2B, L, C]
+        concat1 = jnp.concatenate([f1, f0], axis=0)
+        for i in range(self.num_layers):
+            concat0 = TransformerBlock(
+                self.d_model, self.ffn_dim_expansion,
+                with_shift=(i % 2 == 1), dtype=self.dtype,
+                name=f"block_{i}")(concat0, concat1, h, w, attn_mask,
+                                   attn_num_splits)
+            half0, half1 = jnp.split(concat0, 2, axis=0)
+            concat1 = jnp.concatenate([half1, half0], axis=0)
+
+        f0, f1 = jnp.split(concat0, 2, axis=0)
+        return f0.reshape(b, h, w, c), f1.reshape(b, h, w, c)
+
+
+class FeatureFlowAttention(nn.Module):
+    """Flow propagation: q/k = feature0, v = flow; `transformer.py:325-409`."""
+    in_channels: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature0, flow, local_window_attn: bool = False,
+                 local_window_radius: int = 1):
+        b, h, w, c = feature0.shape
+        q_proj = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                          kernel_init=nn.initializers.xavier_uniform(),
+                          name="q_proj")
+        k_proj = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                          kernel_init=nn.initializers.xavier_uniform(),
+                          name="k_proj")
+        # NOTE: key is a projection of the query, faithfully mirroring the
+        # reference's (documented) quirk at `transformer.py:357-364`.
+        query = q_proj(feature0.reshape(b, h * w, c))
+        key = k_proj(query)
+
+        if not local_window_attn:
+            value = flow.reshape(b, h * w, 2)
+            scores = jnp.einsum("blc,bmc->blm", query, key,
+                                preferred_element_type=jnp.float32) / (c ** 0.5)
+            prob = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("blm,bmd->bld", prob, value,
+                             preferred_element_type=jnp.float32)
+            return out.reshape(b, h, w, 2)
+
+        # local window attention (`transformer.py:376-409`)
+        ks = 2 * local_window_radius + 1
+        key_map = key.reshape(b, h, w, c)
+        key_win = jax.lax.conv_general_dilated_patches(
+            key_map.transpose(0, 3, 1, 2), (ks, ks), (1, 1), "SAME")
+        # [B, C*ks*ks, H, W] channel-major (c, ky, kx)
+        key_win = key_win.reshape(b, c, ks * ks, h, w)
+        flow_win = jax.lax.conv_general_dilated_patches(
+            flow.transpose(0, 3, 1, 2), (ks, ks), (1, 1), "SAME")
+        flow_win = flow_win.reshape(b, 2, ks * ks, h, w)
+
+        q = query.reshape(b, h, w, c)
+        scores = jnp.einsum("bhwc,bckhw->bhwk", q, key_win,
+                            preferred_element_type=jnp.float32) / (c ** 0.5)
+        prob = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhwk,bdkhw->bhwd", prob, flow_win,
+                         preferred_element_type=jnp.float32)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# matching
+# ---------------------------------------------------------------------------
+
+def global_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray,
+                               pred_bidir_flow: bool = False
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global matching: softmax(corr) @ grid - grid; `matching.py:7-36`.
+
+    feature0/1: [B, H, W, C]. Returns (flow [B, H, W, 2], prob).
+    """
+    b, h, w, c = feature0.shape
+    f0 = feature0.reshape(b, h * w, c).astype(jnp.float32)
+    f1 = feature1.reshape(b, h * w, c).astype(jnp.float32)
+    corr = jnp.einsum("blc,bmc->blm", f0, f1,
+                      preferred_element_type=jnp.float32) / (c ** 0.5)
+
+    grid = jnp.moveaxis(pixel_grid(h, w), 0, -1).reshape(h * w, 2)
+    if pred_bidir_flow:
+        corr = jnp.concatenate([corr, jnp.swapaxes(corr, 1, 2)], axis=0)
+        b = b * 2
+    prob = jax.nn.softmax(corr, axis=-1)
+    correspondence = jnp.einsum("blm,md->bld", prob, grid,
+                                preferred_element_type=jnp.float32)
+    flow = correspondence.reshape(b, h, w, 2) - grid.reshape(1, h, w, 2)
+    return flow, prob
+
+
+def local_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray,
+                              local_radius: int
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed matching; `matching.py:39-83`."""
+    b, h, w, c = feature0.shape
+    r = local_radius
+    k = 2 * r + 1
+    coords = jnp.moveaxis(pixel_grid(h, w), 0, -1)  # [H, W, 2]
+
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    window = jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)  # [K2, 2]
+
+    sample = coords.reshape(1, h * w, 1, 2) + window[None, None]
+    valid = ((sample[..., 0] >= 0) & (sample[..., 0] < w) &
+             (sample[..., 1] >= 0) & (sample[..., 1] < h))
+
+    # integer window offsets -> gather neighborhoods via patch extraction
+    f1_win = jax.lax.conv_general_dilated_patches(
+        feature1.transpose(0, 3, 1, 2).astype(jnp.float32), (k, k), (1, 1),
+        "SAME")
+    f1_win = f1_win.reshape(b, c, k * k, h * w)  # (c, ky*kx) ordering
+    corr = jnp.einsum("blc,bckl->blk", feature0.reshape(b, h * w, c)
+                      .astype(jnp.float32), f1_win,
+                      preferred_element_type=jnp.float32) / (c ** 0.5)
+    corr = jnp.where(valid, corr, -1e9)
+    prob = jax.nn.softmax(corr, axis=-1)  # [B, L, K2]
+    correspondence = jnp.einsum("blk,blkd->bld", prob,
+                                jnp.broadcast_to(sample, (b, h * w, k * k, 2)),
+                                preferred_element_type=jnp.float32)
+    flow = correspondence.reshape(b, h, w, 2) - coords[None]
+    return flow, prob
+
+
+# ---------------------------------------------------------------------------
+# the model
+# ---------------------------------------------------------------------------
+
+def normalize_img(img0: jnp.ndarray, img1: jnp.ndarray):
+    """ImageNet normalization of [0,255] NHWC images; `gmflow/utils.py:55-63`."""
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    return (img0 / 255.0 - mean) / std, (img1 / 255.0 - mean) / std
+
+
+class GMFlow(nn.Module):
+    """Adjusted GMFlow; forward contract mirrors `gmflow.py:92-170`.
+
+    Call with NHWC [0,255] images and the per-scale recipe lists:
+      attn_splits_list / corr_radius_list / prop_radius_list
+    (e.g. [2], [-1], [-1] for 1-scale; [2, 8], [-1, 4], [-1, 1] with refine).
+    Returns dict(flow_preds=[...]) with upsampled [B, H, W, 2] flows.
+    """
+    num_scales: int = 1
+    upsample_factor: int = 8
+    feature_channels: int = 128
+    num_transformer_layers: int = 6
+    ffn_dim_expansion: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img0, img1,
+                 attn_splits_list: Sequence[int] = (2,),
+                 corr_radius_list: Sequence[int] = (-1,),
+                 prop_radius_list: Sequence[int] = (-1,),
+                 pred_bidir_flow: bool = False,
+                 training: bool = True):
+        assert len(attn_splits_list) == self.num_scales
+        img0, img1 = normalize_img(img0, img1)
+
+        # backbone over the stacked pair (`gmflow.py:50-65`)
+        concat = jnp.concatenate([img0, img1], axis=0).astype(self.dtype)
+        features = CNNEncoder(self.feature_channels,
+                              num_output_scales=self.num_scales,
+                              dtype=self.dtype, name="backbone")(concat)
+        features = features[::-1]  # low -> high resolution
+
+        transformer = FeatureTransformer(
+            self.num_transformer_layers, self.feature_channels,
+            self.ffn_dim_expansion, dtype=self.dtype, name="transformer")
+        flow_attn = FeatureFlowAttention(self.feature_channels,
+                                         dtype=self.dtype,
+                                         name="feature_flow_attn")
+
+        upsampler = nn.Sequential([
+            Conv(256, (3, 3), dtype=self.dtype),
+            nn.relu,
+            Conv(self.upsample_factor ** 2 * 9, (1, 1), dtype=self.dtype),
+        ])
+
+        flow_preds: List[jnp.ndarray] = []
+        flow = None
+
+        for scale_idx in range(self.num_scales):
+            feat = features[scale_idx]
+            feature0, feature1 = jnp.split(feat.astype(jnp.float32), 2, axis=0)
+
+            if pred_bidir_flow and scale_idx > 0:
+                feature0, feature1 = (
+                    jnp.concatenate([feature0, feature1], axis=0),
+                    jnp.concatenate([feature1, feature0], axis=0))
+
+            upsample_factor = self.upsample_factor * (
+                2 ** (self.num_scales - 1 - scale_idx))
+
+            if scale_idx > 0:
+                b_, h_, w_, _ = flow.shape
+                flow = jax.image.resize(flow, (b_, 2 * h_, 2 * w_, 2),
+                                        "linear") * 2.0
+
+            if flow is not None:
+                flow = jax.lax.stop_gradient(flow)
+                feature1 = flow_warp(feature1.transpose(0, 3, 1, 2),
+                                     flow.transpose(0, 3, 1, 2)
+                                     ).transpose(0, 2, 3, 1)
+
+            attn_splits = attn_splits_list[scale_idx]
+            corr_radius = corr_radius_list[scale_idx]
+            prop_radius = prop_radius_list[scale_idx]
+
+            feature0, feature1 = feature_add_position(
+                feature0, feature1, attn_splits, self.feature_channels)
+
+            feature0, feature1 = transformer(
+                feature0.astype(self.dtype), feature1.astype(self.dtype),
+                attn_num_splits=attn_splits)
+            feature0 = feature0.astype(jnp.float32)
+            feature1 = feature1.astype(jnp.float32)
+
+            if corr_radius == -1:
+                flow_pred = global_correlation_softmax(
+                    feature0, feature1, pred_bidir_flow)[0]
+            else:
+                flow_pred = local_correlation_softmax(
+                    feature0, feature1, corr_radius)[0]
+
+            flow = flow + flow_pred if flow is not None else flow_pred
+
+            if training:
+                b_, h_, w_, _ = flow.shape
+                bil = jax.image.resize(
+                    flow, (b_, upsample_factor * h_, upsample_factor * w_, 2),
+                    "linear") * upsample_factor
+                flow_preds.append(bil)
+
+            if pred_bidir_flow and scale_idx == 0:
+                feature0 = jnp.concatenate([feature0, feature1], axis=0)
+            flow = flow_attn(feature0.astype(self.dtype),
+                             jax.lax.stop_gradient(flow),
+                             local_window_attn=prop_radius > 0,
+                             local_window_radius=prop_radius)
+
+            if training and scale_idx < self.num_scales - 1:
+                b_, h_, w_, _ = flow.shape
+                bil = jax.image.resize(
+                    flow, (b_, upsample_factor * h_, upsample_factor * w_, 2),
+                    "linear") * upsample_factor
+                flow_preds.append(bil)
+
+            if scale_idx == self.num_scales - 1:
+                concat_fm = jnp.concatenate(
+                    [flow.astype(self.dtype), feature0.astype(self.dtype)],
+                    axis=-1)
+                mask = upsampler(concat_fm).astype(jnp.float32)
+                flow_up = convex_upsample(flow, mask,
+                                          factor=self.upsample_factor)
+                flow_preds.append(flow_up)
+
+        return {"flow_preds": flow_preds}

@@ -1,0 +1,266 @@
+"""RAFT (adjusted) — TPU-native flax implementation (M1).
+
+Re-design of `adjusted_RAFT/core/raft.py` + `update.py` + `extractor.py`:
+  * feature encoder (instance norm) + context encoder (batch norm) to 1/8 res;
+  * all-pairs 4-level correlation pyramid (or on-demand lookup);
+  * iterative SepConvGRU update with convex upsampling.
+
+TPU-first choices: NHWC layout; encoders/GRU run in a configurable compute
+dtype (bfloat16 by default under mixed precision — replacing the reference's
+torch.cuda.amp autocast `raft.py:99,110,127`), while correlation features and
+flow arithmetic stay float32 (the reference also forces fmaps to float
+`raft.py:102-103`). Iterations are a compile-time-unrolled loop over static
+``iters`` (XLA fuses each step; coords are detached between iterations via
+stop_gradient exactly like `raft.py:123`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.geometry import pixel_grid
+from ..ops.correlation import CorrPyramid, on_demand_corr
+from .layers import BasicEncoder, Conv, SmallEncoder
+
+Dtype = Any
+
+
+def coords_grid(b: int, h: int, w: int) -> jnp.ndarray:
+    """[B, H, W, 2] identity coords (x, y); `core/utils/utils.py:74-77`."""
+    g = jnp.moveaxis(pixel_grid(h, w), 0, -1)
+    return jnp.broadcast_to(g[None], (b, h, w, 2))
+
+
+def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
+    """8x bilinear upsample of [B, H, W, 2] flow, scaled by 8.
+
+    `core/utils/utils.py:80-83` (align-corners bilinear approximated by
+    jax.image linear resize — used only by the small model path).
+    """
+    b, h, w, _ = flow.shape
+    up = jax.image.resize(flow, (b, 8 * h, 8 * w, 2), "linear")
+    return 8.0 * up
+
+
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8
+                    ) -> jnp.ndarray:
+    """Convex-combination upsampling; `raft.py:72-83`.
+
+    flow: [B, H, W, 2]; mask: [B, H, W, 9*factor^2] -> [B, f*H, f*W, 2].
+    """
+    b, h, w, _ = flow.shape
+    f = factor
+    mask = mask.reshape(b, h, w, 9, f * f)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    # 3x3 neighborhoods of f*flow: [B, H, W, 9, 2], tap order (ky, kx)
+    # row-major to match the reference's F.unfold (`raft.py:76`).
+    # edge-replicate (vs the reference's zero pad) so border outputs remain
+    # convex combinations of real flow values; with a learned mask the two
+    # are equivalent in expressiveness.
+    fp = jnp.pad(f * flow, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    patches = jnp.stack(
+        [fp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],
+        axis=3)
+
+    up = jnp.einsum("bhwkf,bhwkc->bhwfc", mask, patches,
+                    precision=jax.lax.Precision.HIGHEST)  # [B,H,W,f*f,2]
+    up = up.reshape(b, h, w, f, f, 2)
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # [B, H, f, W, f, 2]
+    return up.reshape(b, h * f, w * f, 2)
+
+
+class FlowHead(nn.Module):
+    hidden_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(Conv(self.hidden_dim, (3, 3), dtype=self.dtype)(x))
+        return Conv(2, (3, 3), dtype=self.dtype)(x)
+
+
+class ConvGRU(nn.Module):
+    """Plain 3x3 ConvGRU (small model); `update.py:16-31`."""
+    hidden_dim: int = 96
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(Conv(self.hidden_dim, (3, 3), dtype=self.dtype)(hx))
+        r = nn.sigmoid(Conv(self.hidden_dim, (3, 3), dtype=self.dtype)(hx))
+        q = nn.tanh(Conv(self.hidden_dim, (3, 3), dtype=self.dtype)(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class SepConvGRU(nn.Module):
+    """Separable 1x5/5x1 ConvGRU; `update.py:33-60`."""
+    hidden_dim: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        for kernel in ((1, 5), (5, 1)):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(Conv(self.hidden_dim, kernel, dtype=self.dtype)(hx))
+            r = nn.sigmoid(Conv(self.hidden_dim, kernel, dtype=self.dtype)(hx))
+            q = nn.tanh(Conv(self.hidden_dim, kernel, dtype=self.dtype)(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class BasicMotionEncoder(nn.Module):
+    """`update.py:79-97`."""
+    corr_planes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(Conv(256, (1, 1), dtype=self.dtype)(corr))
+        cor = nn.relu(Conv(192, (3, 3), dtype=self.dtype)(cor))
+        flo = nn.relu(Conv(128, (7, 7), dtype=self.dtype)(flow))
+        flo = nn.relu(Conv(64, (3, 3), dtype=self.dtype)(flo))
+        out = nn.relu(Conv(126, (3, 3), dtype=self.dtype)(
+            jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)  # 128ch
+
+
+class SmallMotionEncoder(nn.Module):
+    """`update.py:62-77`."""
+    corr_planes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(Conv(96, (1, 1), dtype=self.dtype)(corr))
+        flo = nn.relu(Conv(64, (7, 7), dtype=self.dtype)(flow))
+        flo = nn.relu(Conv(32, (3, 3), dtype=self.dtype)(flo))
+        out = nn.relu(Conv(80, (3, 3), dtype=self.dtype)(
+            jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)  # 82ch
+
+
+class BasicUpdateBlock(nn.Module):
+    """`update.py:114-136`."""
+    corr_planes: int
+    hidden_dim: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(self.corr_planes, dtype=self.dtype)(
+            flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden_dim, dtype=self.dtype)(net, x)
+        delta = FlowHead(256, dtype=self.dtype)(net)
+        mask = Conv(64 * 9, (1, 1), dtype=self.dtype)(
+            nn.relu(Conv(256, (3, 3), dtype=self.dtype)(net)))
+        return net, 0.25 * mask, delta
+
+
+class SmallUpdateBlock(nn.Module):
+    """`update.py:99-112` — no upsample mask."""
+    corr_planes: int
+    hidden_dim: int = 96
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = SmallMotionEncoder(self.corr_planes, dtype=self.dtype)(
+            flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = ConvGRU(self.hidden_dim, dtype=self.dtype)(net, x)
+        delta = FlowHead(128, dtype=self.dtype)(net)
+        return net, None, delta
+
+
+class RAFT(nn.Module):
+    """Adjusted RAFT; forward contract mirrors `raft.py:86-144`.
+
+    Call: ``flows = model(image1, image2, iters=12)`` with images
+    [B, H, W, 3] in [0, 255] (H, W divisible by 8). Returns the list of
+    per-iteration upsampled flow predictions [B, H, W, 2]; with
+    ``test_mode=True`` returns (low_res_flow, final_up_flow).
+    """
+    small: bool = False
+    dropout: float = 0.0
+    alternate_corr: bool = False
+    corr_levels: int = 4
+    dtype: Dtype = jnp.float32  # compute dtype for encoders/GRU
+
+    @property
+    def corr_radius(self) -> int:
+        return 3 if self.small else 4
+
+    @nn.compact
+    def __call__(self, image1, image2, iters: int = 12,
+                 flow_init: Optional[jnp.ndarray] = None,
+                 test_mode: bool = False, train: bool = True):
+        hdim = 96 if self.small else 128
+        cdim = 64 if self.small else 128
+        radius = self.corr_radius
+        corr_planes = self.corr_levels * (2 * radius + 1) ** 2
+
+        image1 = 2.0 * (image1 / 255.0) - 1.0
+        image2 = 2.0 * (image2 / 255.0) - 1.0
+        image1 = image1.astype(self.dtype)
+        image2 = image2.astype(self.dtype)
+
+        enc = SmallEncoder if self.small else BasicEncoder
+        fdim = 128 if self.small else 256
+        # shared feature net applied to the stacked pair (`raft.py:100`)
+        fnet = enc(output_dim=fdim, norm_fn="instance", dropout=self.dropout,
+                   dtype=self.dtype, name="fnet")
+        both = fnet(jnp.concatenate([image1, image2], axis=0), train)
+        fmap1, fmap2 = jnp.split(both.astype(jnp.float32), 2, axis=0)
+
+        cnet_norm = "none" if self.small else "batch"
+        cnet = enc(output_dim=hdim + cdim, norm_fn=cnet_norm,
+                   dropout=self.dropout, dtype=self.dtype, name="cnet")(
+                       image1, train)
+        net, inp = jnp.split(cnet, [hdim], axis=-1)
+        net = jnp.tanh(net)
+        inp = nn.relu(inp)
+
+        b, h8, w8, _ = fmap1.shape
+        coords0 = coords_grid(b, h8, w8)
+        coords1 = coords_grid(b, h8, w8)
+        if flow_init is not None:
+            coords1 = coords1 + flow_init
+
+        if self.alternate_corr:
+            corr_fn = lambda c: on_demand_corr(
+                fmap1, fmap2, c, self.corr_levels, radius)
+        else:
+            pyramid = CorrPyramid(fmap1, fmap2, self.corr_levels, radius)
+            corr_fn = pyramid
+
+        update = (SmallUpdateBlock if self.small else BasicUpdateBlock)(
+            corr_planes, hidden_dim=hdim, dtype=self.dtype, name="update_block")
+
+        flow_predictions: List[jnp.ndarray] = []
+        flow_up = None
+        for _ in range(iters):
+            coords1 = jax.lax.stop_gradient(coords1)  # `raft.py:123`
+            corr = corr_fn(coords1).astype(self.dtype)
+            flow = (coords1 - coords0).astype(self.dtype)
+            net, up_mask, delta_flow = update(net, inp, corr, flow)
+            coords1 = coords1 + delta_flow.astype(jnp.float32)
+
+            if up_mask is None:
+                flow_up = upflow8(coords1 - coords0)
+            else:
+                flow_up = convex_upsample(
+                    coords1 - coords0, up_mask.astype(jnp.float32))
+            flow_predictions.append(flow_up)
+
+        if test_mode:
+            return coords1 - coords0, flow_up
+        return flow_predictions

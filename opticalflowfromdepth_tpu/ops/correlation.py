@@ -1,0 +1,169 @@
+"""RAFT correlation volumes: dense pyramid + on-demand lookup (N2).
+
+Two interchangeable implementations mirroring the reference:
+
+  * :class:`CorrPyramid` — the default all-pairs volume
+    (`adjusted_RAFT/core/corr.py:12-60`): one [B, H1*W1, H2, W2] matmul on the
+    MXU, average-pooled into ``num_levels`` levels, then bilinear window
+    lookups per GRU iteration.
+
+  * :func:`on_demand_corr` — the memory-efficient path replacing the
+    alt_cuda_corr CUDA kernel (`adjusted_RAFT/alt_cuda_corr/
+    correlation_kernel.cu`, `core/corr.py:63-91`). The CUDA kernel computes
+    dots at integer neighbors and bilinearly *scatters* into the output
+    window; by linearity this equals ``dot(f1, bilinear_sample(f2_level,
+    coords + delta))``, which is what we compute — batched dots on the MXU,
+    no H^2W^2 volume, differentiable through XLA (no hand-written backward
+    needed; XLA derives the fused VJP).
+
+Scaling note (SURVEY.md §2.6): for very large images the query axis (H1*W1)
+can be sharded across the mesh — both forms are batched matmuls over that
+axis, so a `shard_map` over queries composes directly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 average pool over the trailing two dims of [..., H, W]."""
+    s = lax.reduce_window(x, 0.0, lax.add,
+                          (1,) * (x.ndim - 2) + (2, 2),
+                          (1,) * (x.ndim - 2) + (2, 2), "VALID")
+    return s / 4.0
+
+
+def _window_delta(radius: int) -> jnp.ndarray:
+    """[(2r+1)^2, 2] window offsets in (x, y) order, y-major ordering.
+
+    Matches `corr.py:37-43`: meshgrid(dy, dx) stacked (dy, dx) last —
+    we emit (x, y) to match our sampler but keep the same y-major flattening
+    so channel order matches the reference layout.
+    """
+    r = radius
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    return jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)
+
+
+def _bilinear_lookup_flat(corr: jnp.ndarray, coords: jnp.ndarray,
+                          h: int, w: int) -> jnp.ndarray:
+    """Sample corr [B, N, h*w] at coords [B, N, K, 2] (x, y pixels).
+
+    Zero padding outside; returns [B, N, K].
+    """
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    acc = jnp.zeros(x.shape, corr.dtype)
+    for ox, oy, wt in ((0, 0, (1 - dx) * (1 - dy)), (1, 0, dx * (1 - dy)),
+                       (0, 1, (1 - dx) * dy), (1, 1, dx * dy)):
+        xi = x0 + ox
+        yi = y0 + oy
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        idx = yc * w + xc  # [B, N, K]
+        vals = jnp.take_along_axis(corr, idx.reshape(*idx.shape[:2], -1),
+                                   axis=-1).reshape(idx.shape)
+        acc = acc + vals * (wt * inb).astype(corr.dtype)
+    return acc
+
+
+class CorrPyramid:
+    """All-pairs correlation pyramid (dense path, `corr.py:12-60`)."""
+
+    def __init__(self, fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                 num_levels: int = 4, radius: int = 4):
+        # fmap1, fmap2: [B, H, W, C] float32
+        self.num_levels = num_levels
+        self.radius = radius
+        b, h, w, c = fmap1.shape
+        self.shape = (b, h, w)
+        f1 = fmap1.reshape(b, h * w, c)
+        f2 = fmap2.reshape(b, h * w, c)
+        corr = jnp.einsum("bnc,bmc->bnm", f1, f2,
+                          preferred_element_type=jnp.float32)
+        corr = corr / jnp.sqrt(jnp.asarray(c, jnp.float32))
+        corr = corr.reshape(b, h * w, h, w)
+        self.levels: List[jnp.ndarray] = [corr]
+        for _ in range(num_levels - 1):
+            corr = _avg_pool2x2(corr)
+            self.levels.append(corr)
+
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """coords: [B, H, W, 2] target positions; returns
+        [B, H, W, num_levels*(2r+1)^2] lookup features (f32)."""
+        b, h, w, _ = coords.shape
+        n = h * w
+        delta = _window_delta(self.radius)  # [K, 2]
+        out = []
+        for i, corr in enumerate(self.levels):
+            hl, wl = corr.shape[2], corr.shape[3]
+            centroid = coords.reshape(b, n, 1, 2) / (2.0 ** i)
+            coords_lvl = centroid + delta[None, None]
+            vals = _bilinear_lookup_flat(corr.reshape(b, n, hl * wl),
+                                         coords_lvl, hl, wl)
+            out.append(vals)
+        return jnp.concatenate(out, axis=-1).reshape(b, h, w, -1)
+
+
+def on_demand_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                   coords: jnp.ndarray, num_levels: int = 4,
+                   radius: int = 4) -> jnp.ndarray:
+    """Memory-efficient correlation lookup (alternate path, N2).
+
+    Args:
+      fmap1, fmap2: [B, H, W, C] float32 feature maps (1/8 res).
+      coords: [B, H, W, 2] current correspondence estimate (x, y pixels).
+
+    Returns: [B, H, W, num_levels*(2r+1)^2] — same contract as CorrPyramid,
+    computed without materializing the H^2W^2 volume. Equivalent to the CUDA
+    kernel's bilinear scatter by linearity of the dot product.
+    """
+    b, h, w, c = fmap1.shape
+    n = h * w
+    scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
+    delta = _window_delta(radius)  # [K, 2]
+    k = delta.shape[0]
+    f1 = fmap1.reshape(b, n, c)
+
+    out = []
+    f2 = fmap2
+    for i in range(num_levels):
+        hl, wl = f2.shape[1], f2.shape[2]
+        coords_lvl = coords.reshape(b, n, 1, 2) / (2.0 ** i) + delta[None, None]
+        # bilinear-gather f2 windows: [B, N, K, C]
+        x = coords_lvl[..., 0]
+        y = coords_lvl[..., 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        dx = x - x0
+        dy = y - y0
+        f2_flat = f2.reshape(b, hl * wl, c)
+        win = jnp.zeros((b, n, k, c), fmap2.dtype)
+        for ox, oy, wt in ((0, 0, (1 - dx) * (1 - dy)), (1, 0, dx * (1 - dy)),
+                           (0, 1, (1 - dx) * dy), (1, 1, dx * dy)):
+            xi = x0 + ox
+            yi = y0 + oy
+            inb = (xi >= 0) & (xi <= wl - 1) & (yi >= 0) & (yi <= hl - 1)
+            xc = jnp.clip(xi, 0, wl - 1).astype(jnp.int32)
+            yc = jnp.clip(yi, 0, hl - 1).astype(jnp.int32)
+            idx = (yc * wl + xc).reshape(b, n * k)
+            vals = jnp.take_along_axis(
+                f2_flat, idx[..., None], axis=1).reshape(b, n, k, c)
+            win = win + vals * (wt * inb)[..., None].astype(fmap2.dtype)
+        corr = jnp.einsum("bnc,bnkc->bnk", f1, win,
+                          preferred_element_type=jnp.float32) * scale
+        out.append(corr)
+        f2 = _avg_pool2x2(jnp.moveaxis(f2, -1, 1))  # pool spatial dims
+        f2 = jnp.moveaxis(f2, 1, -1)
+    return jnp.concatenate(out, axis=-1).reshape(b, h, w, -1)

@@ -1,0 +1,270 @@
+"""The data-synthesis engine (S7): depth -> supervised optical-flow pairs.
+
+Jit-compiled, fully on-device re-design of the reference's
+``PreprocessPlusAugment`` (`/root/reference/preprocess.py:329-506`) and
+``augment_flow`` (`preprocess.py:107-182`). The reference round-trips to the
+CPU for every cv2.inpaint call (~130 warps/image); here the whole per-image
+program is one XLA computation.
+
+Per source image the engine produces:
+  * a 5-pair "group": (0->1 virtual stereo, 1->2 and 0->3 virtual motion,
+    0->2 and 1->3 composed flows), each pair = (imgA, depthA, imgB, depthB,
+    flowAB, back_flowAB) — 12 channels (`preprocess.py:427-432`);
+  * 12 augmentations per pair (types [0,5,6,7,1,5,6,7,2,5,6,7],
+    `preprocess.py:454`), each yielding two supervised sets (augment side A /
+    side B, `preprocess.py:142-147,177-182`).
+
+Output schema (fixes the reference's npz drift, SURVEY.md §2.3 D2): explicit
+keys img0/img1/flow/back_flow/depth0/depth1 + augment_flow_type + side.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import convert, special_flow
+from ..core.depth_utils import fix_warped_depth, normalize_depth
+from ..core.rng import get_random
+from ..ops.forward_warp import back_flow, concat_flow, forward_warp
+from ..ops.inpaint import inpaint
+
+AUGMENT_SCHEDULE = (0, 5, 6, 7, 1, 5, 6, 7, 2, 5, 6, 7)  # `preprocess.py:454`
+
+
+class Pair(NamedTuple):
+    """One supervised training pair (12 channels in the reference layout)."""
+    img_a: jnp.ndarray        # [3, H, W]
+    depth_a: jnp.ndarray      # [1, H, W]
+    img_b: jnp.ndarray        # [3, H, W]
+    depth_b: jnp.ndarray      # [1, H, W]
+    flow_ab: jnp.ndarray      # [2, H, W]
+    back_flow_ab: jnp.ndarray # [2, H, W]
+
+    def stacked(self) -> jnp.ndarray:
+        return jnp.concatenate(self, axis=0)  # [12, H, W]
+
+
+def _warp_pack(pack: jnp.ndarray, flow: jnp.ndarray, depth: jnp.ndarray):
+    out, valid, collision = forward_warp(pack, flow, depth)
+    return out, valid, collision
+
+
+def synthesize_group(key: jax.Array, img0: jnp.ndarray, depth0: jnp.ndarray,
+                     is_stereo: bool = False) -> Tuple[Pair, ...]:
+    """Build the 5-pair group from one (image, depth|disparity) sample.
+
+    Args:
+      key:   PRNG key (fold_in per image for determinism, `preprocess.py:555`).
+      img0:  [3, H, W] image in [0, 255].
+      depth0: [1, H, W] depth (ReDWeb path) or disparity (DIML/stereo path).
+
+    Mirrors `preprocess.py:341-432` step by step.
+    """
+    k_disp, k_mot12, _ = jax.random.split(key, 3)
+
+    if is_stereo:
+        img0_depth = convert.disparity_to_depth(depth0)
+    else:
+        img0_depth = depth0
+    img0_depth = normalize_depth(img0_depth)
+
+    # --- 0 -> 1: virtual stereo (horizontal flow) --------------------------
+    disp0 = convert.depth_to_disparity(k_disp, img0_depth)
+    flow01 = convert.disparity_to_flow(disp0, random_sign=False)
+    pack = jnp.concatenate([img0, img0_depth, flow01 * -1.0], axis=0)
+    out, img1_valid, coll = _warp_pack(pack, flow01, img0_depth)
+    img1 = out[0:3] * img1_valid
+    img1_depth = fix_warped_depth(out[3:4] * img1_valid)
+    back_flow01 = out[4:6] * img1_valid
+    img1 = inpaint(img1, img1_valid, coll)
+
+    # --- 1 -> 2: random virtual camera motion ------------------------------
+    flow12, T1 = convert.depth_to_random_flow(k_mot12, img1_depth)
+    pack = jnp.concatenate([img1, img1_depth, flow12 * -1.0, img1_valid], 0)
+    out, valid, coll = _warp_pack(pack, flow12, img1_depth)
+    img2_valid = valid * out[6:7]
+    img2 = out[0:3] * img2_valid
+    img2_depth = out[3:4] * img2_valid
+    back_flow12 = out[4:6] * img2_valid
+    img2 = inpaint(img2, img2_valid, coll)
+    img2_depth = fix_warped_depth(img2_depth)
+
+    # --- 0 -> 3: same motion from frame 0 (`preprocess.py:385`) ------------
+    flow03, _ = convert.depth_to_random_flow(k_mot12, img0_depth, T1=T1)
+    pack = jnp.concatenate([img0, img0_depth, flow03 * -1.0], axis=0)
+    out, img3_valid, coll = _warp_pack(pack, flow03, img0_depth)
+    img3 = out[0:3] * img3_valid
+    img3_depth = out[3:4] * img3_valid
+    back_flow03 = out[4:6] * img3_valid
+    img3 = inpaint(img3, img3_valid, coll)
+    img3_depth = fix_warped_depth(img3_depth)
+
+    # --- 0 -> 2: composed flow (`preprocess.py:400-412`) -------------------
+    flow02, flow02_valid = concat_flow(flow01, back_flow01, flow12, img1_depth)
+    pack = jnp.concatenate([img0, img0_depth, flow02 * -1.0, flow02_valid], 0)
+    out, valid, coll = _warp_pack(pack, flow02, img0_depth)
+    img2p_valid = valid * out[6:7]
+    img2_prime = out[0:3] * img2p_valid
+    img2_depth_prime = out[3:4] * img2p_valid
+    back_flow02_prime = out[4:6] * img2p_valid
+    img2_prime = inpaint(img2_prime, img2p_valid, coll)
+    img2_depth_prime = fix_warped_depth(img2_depth_prime)
+
+    # --- 1 -> 3: composed flow (`preprocess.py:414-425`) -------------------
+    flow13, flow13_valid = concat_flow(back_flow01, flow01, flow03, img1_depth)
+    flow13_valid = flow13_valid * img1_valid
+    pack = jnp.concatenate([img1, img1_depth, flow13 * -1.0, flow13_valid], 0)
+    out, valid, coll = _warp_pack(pack, flow13, img1_depth)
+    img3p_valid = valid * out[6:7]
+    img3_prime = out[0:3] * img3p_valid
+    img3_depth_prime = out[3:4] * img3p_valid
+    back_flow13_prime = out[4:6] * img3p_valid
+    img3_prime = inpaint(img3_prime, img3p_valid, coll)
+    img3_depth_prime = fix_warped_depth(img3_depth_prime)
+
+    return (
+        Pair(img0, img0_depth, img1, img1_depth, flow01, back_flow01),
+        Pair(img1, img1_depth, img2, img2_depth, flow12, back_flow12),
+        Pair(img0, img0_depth, img2_prime, img2_depth_prime, flow02,
+             back_flow02_prime),
+        Pair(img0, img0_depth, img3, img3_depth, flow03, back_flow03),
+        Pair(img1, img1_depth, img3_prime, img3_depth_prime, flow13,
+             back_flow13_prime),
+    )
+
+
+class AugmentedSets(NamedTuple):
+    """Both supervised sets produced by one augmentation.
+
+    set1 augments side A (img0), set2 augments side B (img1) —
+    `preprocess.py:142-147` / `:177-182`. Channel layout of the saved
+    tensors matches `preprocess.py:462-463`:
+      set1 = [aug_img0(3), aug_depth0(1), flow(2), back_flow(2)]
+      set2 = [flow(2), back_flow(2), aug_img1(3), aug_depth1(1)]
+    """
+    set1: jnp.ndarray  # [8, H, W]
+    set2: jnp.ndarray  # [8, H, W]
+
+
+def augment_pair(key: jax.Array, pair: Pair, augment_flow_type: int
+                 ) -> AugmentedSets:
+    """One augmentation of one pair; ``augment_flow_type`` is static.
+
+    Geometric types (5 flip / 6 rotate / 7 shear) compose the special flow
+    with the pair's true flow via ConcatFlow in both directions, forward-warp
+    image+depth, inpaint, and recompute backward flows (`preprocess.py:116-147`).
+    Photometric types (0 brightness / 1 channel shift / 2 grayscale) change
+    only the images (`preprocess.py:150-182`).
+    """
+    t = int(augment_flow_type)
+    img0, img0_depth, img1, img1_depth, flow01, back_flow01 = pair
+    _, h, w = img0.shape
+
+    if t >= 5:
+        sf, bsf = special_flow.special_flow(key, h, w, t)
+        aug0_flow, _ = concat_flow(bsf, sf, flow01, img0_depth)
+        aug1_flow, _ = concat_flow(flow01, back_flow01, sf, img1_depth)
+
+        pack0 = jnp.concatenate([img0, img0_depth], axis=0)
+        out0, v0, c0 = forward_warp(pack0, sf, img0_depth)
+        aug_img0 = inpaint(out0[0:3], v0, c0)
+        aug_img0_depth = fix_warped_depth(out0[3:4])
+
+        pack1 = jnp.concatenate([img1, img1_depth], axis=0)
+        out1, v1, c1 = forward_warp(pack1, sf, img1_depth)
+        aug_img1 = inpaint(out1[0:3], v1, c1)
+        aug_img1_depth = fix_warped_depth(out1[3:4])
+
+        back_aug0_flow, _ = back_flow(aug0_flow, aug_img0_depth)
+        back_aug1_flow, _ = back_flow(aug1_flow, img0_depth)
+
+        set1 = jnp.concatenate(
+            [aug_img0, aug_img0_depth, aug0_flow, back_aug0_flow], axis=0)
+        set2 = jnp.concatenate(
+            [aug1_flow, back_aug1_flow, aug_img1, aug_img1_depth], axis=0)
+        return AugmentedSets(set1, set2)
+
+    if t >= 3:
+        raise ValueError(
+            "augment types 3-4 are dead branches in the reference "
+            "(`preprocess.py:148-149`) and are not supported")
+
+    # photometric
+    if t >= 2:
+        gray = jnp.array([[0.2989, 0.2989, 0.2989],
+                          [0.5870, 0.5870, 0.5870],
+                          [0.1140, 0.1140, 0.1140]], jnp.float32)
+        def aug_fn(img):
+            return jnp.einsum("chw,cd->dhw", img, gray)
+    elif t >= 1:
+        k_ch, k_sh = jax.random.split(key)
+        channel = jax.random.randint(k_ch, (), 0, 3)
+        shift_val = get_random(k_sh, 10.0, 15.0)
+        shift = (jnp.arange(3) == channel).astype(jnp.float32) * shift_val
+        def aug_fn(img):
+            return img + shift[:, None, None]
+    else:
+        scale = get_random(key, 1.0, 0.0, random_sign=False)
+        def aug_fn(img):
+            return img * scale
+
+    set1 = jnp.concatenate(
+        [aug_fn(img0), img0_depth, flow01, back_flow01], axis=0)
+    set2 = jnp.concatenate(
+        [flow01, back_flow01, aug_fn(img1), img1_depth], axis=0)
+    return AugmentedSets(set1, set2)
+
+
+def group_tensor(pairs: Tuple[Pair, ...]) -> jnp.ndarray:
+    """The 44-channel group tensor layout of `preprocess.py:437-440`."""
+    p0, p1, p2, p3, p4 = pairs
+    return jnp.concatenate([
+        p0.img_a, p0.depth_a,          # img0, d0
+        p0.img_b, p0.depth_b,          # img1, d1
+        p1.img_b, p1.depth_b,          # img2, d2
+        p3.img_b, p3.depth_b,          # img3, d3
+        p2.img_b, p2.depth_b,          # img2', d2'
+        p4.img_b, p4.depth_b,          # img3', d3'
+        p0.flow_ab, p0.back_flow_ab,   # flow01, back01
+        p1.flow_ab, p1.back_flow_ab,   # flow12, back12
+        p2.flow_ab, p2.back_flow_ab,   # flow02, back02'
+        p3.flow_ab, p3.back_flow_ab,   # flow03, back03
+        p4.flow_ab, p4.back_flow_ab,   # flow13, back13'
+    ], axis=0)
+
+
+def synthesize_sample(key: jax.Array, img0: jnp.ndarray, depth0: jnp.ndarray,
+                      is_stereo: bool = False) -> Dict[str, jnp.ndarray]:
+    """Full per-image synthesis: group + all 5x12x2 augmented sets.
+
+    Returns a dict of stacked tensors:
+      'group':   [44, H, W]
+      'pairs':   [5, 12, H, W]
+      'aug_set1','aug_set2': [5, 12, 8, H, W]
+      'aug_types': [12] int32 (static schedule)
+    Designed to be jit-compiled once per (H, W) and driven by the CLI.
+    """
+    k_group, k_aug = jax.random.split(key)
+    pairs = synthesize_group(k_group, img0, depth0, is_stereo)
+
+    set1s, set2s = [], []
+    for gi, pair in enumerate(pairs):
+        row1, row2 = [], []
+        for ai, t in enumerate(AUGMENT_SCHEDULE):
+            k = jax.random.fold_in(jax.random.fold_in(k_aug, gi), ai)
+            s = augment_pair(k, pair, t)
+            row1.append(s.set1)
+            row2.append(s.set2)
+        set1s.append(jnp.stack(row1))
+        set2s.append(jnp.stack(row2))
+
+    return {
+        "group": group_tensor(pairs),
+        "pairs": jnp.stack([p.stacked() for p in pairs]),
+        "aug_set1": jnp.stack(set1s),
+        "aug_set2": jnp.stack(set2s),
+        "aug_types": jnp.asarray(AUGMENT_SCHEDULE, jnp.int32),
+    }

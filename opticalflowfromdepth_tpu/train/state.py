@@ -1,0 +1,91 @@
+"""Train state + checkpointing.
+
+Checkpoint contract mirrors the reference's two schemes (SURVEY.md §5.4):
+  * weights-only warm start across stages (`adjusted_RAFT/train.py:146-147`,
+    strict=False semantics = restore matching subtree);
+  * full resume: params + optimizer + step (+ batch stats), with the OneCycle
+    schedule step-aligned on restore (`adjusted_gmflow/main.py:236-253,
+    424-432`) — our schedule is a pure function of the step inside the
+    optimizer state, so alignment is automatic.
+
+Orbax is used for the on-disk format.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state as flax_train_state
+
+
+class TrainState(flax_train_state.TrainState):
+    """flax TrainState + mutable batch stats (RAFT cnet batch norm)."""
+    batch_stats: Any = None
+
+
+def create_train_state(model, variables: Dict, tx: optax.GradientTransformation
+                       ) -> TrainState:
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=tx,
+    )
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: TrainState, step: int) -> str:
+    """Full checkpoint (params+opt+step) at ``path/step_<N>``."""
+    target = os.path.join(os.path.abspath(path), f"step_{step}")
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+        "step": jnp.asarray(step),
+    }
+    _ckptr().save(target, payload, force=True)
+    return target
+
+
+def save_weights(path: str, params, name: str = "weights") -> str:
+    """Weights-only checkpoint for stage chaining (`train_mixed.sh:3-6`)."""
+    target = os.path.join(os.path.abspath(path), name)
+    _ckptr().save(target, {"params": params}, force=True)
+    return target
+
+
+def load_checkpoint(target: str, state: TrainState) -> TrainState:
+    """Full resume; restores params/opt/step into ``state``."""
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+        "step": jnp.asarray(0),
+    }
+    import orbax.checkpoint as ocp
+    restored = _ckptr().restore(os.path.abspath(target),
+                                args=ocp.args.PyTreeRestore(item=template))
+    return state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        batch_stats=restored["batch_stats"],
+        step=int(restored["step"]),
+    )
+
+
+def load_weights(target: str, params):
+    """Weights-only warm start (strict=False analog: template-shaped)."""
+    import orbax.checkpoint as ocp
+    restored = _ckptr().restore(os.path.abspath(target),
+                                args=ocp.args.PyTreeRestore(
+                                    item={"params": params}))
+    return restored["params"]
