@@ -20,6 +20,7 @@ keys img0/img1/flow/back_flow/depth0/depth1 + augment_flow_type + side.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Tuple
 
 import jax
@@ -240,31 +241,56 @@ def synthesize_sample(key: jax.Array, img0: jnp.ndarray, depth0: jnp.ndarray,
                       is_stereo: bool = False) -> Dict[str, jnp.ndarray]:
     """Full per-image synthesis: group + all 5x12x2 augmented sets.
 
+    Staged execution: ONE jitted group program plus one jitted
+    shape-polymorphic-per-type vmapped augment program per distinct
+    augment type (6 total) — compiled once per (H, W) and reused for every
+    image. A single-jit variant of the whole 60-augmentation unroll would
+    compile for minutes; this factorization keeps compile O(types) while
+    every per-image FLOP still runs on device with batched dispatch.
+
     Returns a dict of stacked tensors:
       'group':   [44, H, W]
       'pairs':   [5, 12, H, W]
       'aug_set1','aug_set2': [5, 12, 8, H, W]
       'aug_types': [12] int32 (static schedule)
-    Designed to be jit-compiled once per (H, W) and driven by the CLI.
     """
     k_group, k_aug = jax.random.split(key)
-    pairs = synthesize_group(k_group, img0, depth0, is_stereo)
+    pairs = _jit_group(k_group, img0, depth0, is_stereo)
 
-    set1s, set2s = [], []
-    for gi, pair in enumerate(pairs):
-        row1, row2 = [], []
-        for ai, t in enumerate(AUGMENT_SCHEDULE):
-            k = jax.random.fold_in(jax.random.fold_in(k_aug, gi), ai)
-            s = augment_pair(k, pair, t)
-            row1.append(s.set1)
-            row2.append(s.set2)
-        set1s.append(jnp.stack(row1))
-        set2s.append(jnp.stack(row2))
+    # stack the 5 pairs on a leading axis for vmapped augmentation
+    stacked = Pair(*(jnp.stack([getattr(p, f) for p in pairs])
+                     for f in Pair._fields))
+
+    n_pairs = len(pairs)
+    set1 = [[None] * len(AUGMENT_SCHEDULE) for _ in range(n_pairs)]
+    set2 = [[None] * len(AUGMENT_SCHEDULE) for _ in range(n_pairs)]
+    for t in sorted(set(AUGMENT_SCHEDULE)):
+        positions = [i for i, tt in enumerate(AUGMENT_SCHEDULE) if tt == t]
+        keys = jnp.stack([
+            jax.random.fold_in(jax.random.fold_in(k_aug, gi), ai)
+            for gi in range(n_pairs) for ai in positions])
+        rep = Pair(*(jnp.repeat(x, len(positions), axis=0)
+                     for x in stacked))  # g-major ordering
+        out = _jit_augment(t)(keys, rep)
+        for j, (gi, ai) in enumerate(
+                (g, a) for g in range(n_pairs) for a in positions):
+            set1[gi][ai] = out.set1[j]
+            set2[gi][ai] = out.set2[j]
 
     return {
         "group": group_tensor(pairs),
         "pairs": jnp.stack([p.stacked() for p in pairs]),
-        "aug_set1": jnp.stack(set1s),
-        "aug_set2": jnp.stack(set2s),
+        "aug_set1": jnp.stack([jnp.stack(row) for row in set1]),
+        "aug_set2": jnp.stack([jnp.stack(row) for row in set2]),
         "aug_types": jnp.asarray(AUGMENT_SCHEDULE, jnp.int32),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("is_stereo",))
+def _jit_group(key, img0, depth0, is_stereo):
+    return synthesize_group(key, img0, depth0, is_stereo)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_augment(t: int):
+    return jax.jit(jax.vmap(lambda k, p: augment_pair(k, p, t)))

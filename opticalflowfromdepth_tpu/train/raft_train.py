@@ -65,7 +65,8 @@ def init_state(cfg: RAFTTrainConfig, rng: jax.Array) -> TrainState:
     model = build_model(cfg)
     h, w = cfg.image_size
     img = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init(rng, img, img, iters=1, train=True)
+    variables = jax.jit(
+        lambda r: model.init(r, img, img, iters=1, train=True))(rng)
     tx = make_optimizer(cfg.lr, cfg.num_steps, cfg.wdecay, cfg.epsilon,
                         cfg.clip, anneal_strategy="linear")
     return create_train_state(model, variables, tx)

@@ -1,0 +1,164 @@
+"""Data plane: frame IO roundtrips, augmentors, shard writer->reader->loader."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opticalflowfromdepth_tpu.data import frame_io
+from opticalflowfromdepth_tpu.data.augmentor import (
+    FlowAugmentor, SparseFlowAugmentor, color_jitter)
+from opticalflowfromdepth_tpu.data.datasets import AugmentedShards, one_hot
+from opticalflowfromdepth_tpu.data.loader import Loader, collate
+from opticalflowfromdepth_tpu.synth.pipeline import synthesize_sample
+from opticalflowfromdepth_tpu.synth.writer import write_sample
+
+
+def test_flo_roundtrip(tmp_path):
+    flow = np.random.default_rng(0).normal(
+        size=(17, 23, 2)).astype(np.float32)
+    path = str(tmp_path / "x.flo")
+    frame_io.write_flo(path, flow)
+    got = frame_io.read_flo(path)
+    np.testing.assert_array_equal(got, flow)
+
+
+def test_kitti_flow_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    flow = (rng.normal(size=(10, 14, 2)) * 10).astype(np.float32)
+    valid = (rng.random((10, 14)) > 0.3).astype(np.float32)
+    path = str(tmp_path / "k.png")
+    frame_io.write_flow_kitti(path, flow, valid)
+    got_flow, got_valid = frame_io.read_flow_kitti(path)
+    np.testing.assert_allclose(got_flow, flow, atol=1 / 64)
+    np.testing.assert_array_equal(got_valid, valid)
+
+
+def test_pfm_read(tmp_path):
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    path = str(tmp_path / "x.pfm")
+    with open(path, "wb") as f:
+        f.write(b"Pf\n4 3\n-1.0\n")
+        np.flipud(data).astype("<f4").tofile(f)
+    got, scale = frame_io.read_pfm(path)
+    np.testing.assert_array_equal(got, data)
+    assert scale == 1.0
+
+
+def test_color_jitter_preserves_shape_dtype():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 40, 3)).astype(np.uint8)
+    out = color_jitter(np.random.default_rng(1), img, 0.4, 0.4, 0.4, 0.1)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_flow_augmentor_shapes_and_flip_sign():
+    rng = np.random.default_rng(0)
+    h, w, ch, cw = 96, 128, 64, 96
+    img1 = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    img2 = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    flow = rng.normal(size=(h, w, 2)).astype(np.float32)
+    back = rng.normal(size=(h, w, 2)).astype(np.float32)
+    d1 = rng.uniform(1, 100, (h, w)).astype(np.float32)
+    d2 = rng.uniform(1, 100, (h, w)).astype(np.float32)
+    aug = FlowAugmentor((ch, cw), rng=np.random.default_rng(3))
+    o1, o2, of, ob, od1, od2 = aug(img1, img2, flow, back, d1, d2)
+    assert o1.shape == (ch, cw, 3) and o2.shape == (ch, cw, 3)
+    assert of.shape == (ch, cw, 2) and ob.shape == (ch, cw, 2)
+    assert od1.shape[:2] == (ch, cw) and od2.shape[:2] == (ch, cw)
+
+
+def test_sparse_resize_scatter():
+    flow = np.zeros((8, 8, 2), np.float32)
+    valid = np.zeros((8, 8), np.float32)
+    flow[4, 4] = (2.0, -1.0)
+    valid[4, 4] = 1
+    f2, v2 = SparseFlowAugmentor.resize_sparse_flow_map(flow, valid, 2.0, 2.0)
+    assert f2.shape == (16, 16, 2) and v2.shape == (16, 16)
+    assert v2.sum() == 1
+    yy, xx = np.argwhere(v2 == 1)[0]
+    np.testing.assert_allclose(f2[yy, xx], [4.0, -2.0])
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    """Synthesize one tiny sample and write shards."""
+    rng = np.random.default_rng(0)
+    h, w = 48, 64
+    img = jnp.asarray(rng.uniform(0, 255, (3, h, w)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(10, 200, (1, h, w)).astype(np.float32))
+    sample = synthesize_sample(jax.random.PRNGKey(0), img, depth)
+    sample = jax.tree.map(np.asarray, sample)
+    out = str(tmp_path_factory.mktemp("shards"))
+    n = write_sample(out, "t0", sample)
+    assert n == 1 + 5 * 12
+    return out
+
+
+def test_shard_reader_schema(shard_dir):
+    ds = AugmentedShards(shard_dir, crop_size=(32, 48), seed=0)
+    assert len(ds) == 2 * 60
+    s = ds[0]
+    assert s["image1"].shape == (32, 48, 3)
+    assert s["image2"].shape == (32, 48, 3)
+    assert s["flow"].shape == (32, 48, 2)
+    assert s["back_flow"].shape == (32, 48, 2)
+    assert s["valid"].shape == (32, 48)
+    assert s["label"].shape == (4,)
+    assert s["label"].sum() == 1.0
+
+
+def test_shard_reader_re_augment(shard_dir):
+    ds = AugmentedShards(shard_dir, crop_size=(32, 48), re_augment=True,
+                         aug_params=dict(crop_size=(32, 48), min_scale=0.0,
+                                         max_scale=0.2, do_flip=True),
+                         seed=0)
+    s = ds[5]
+    assert s["image1"].shape == (32, 48, 3)
+    assert np.isfinite(s["flow"]).all()
+
+
+def test_shard_reader_corrupt_fallback(shard_dir, tmp_path):
+    import shutil
+    d = str(tmp_path / "c")
+    shutil.copytree(shard_dir, d)
+    files = sorted(os.listdir(d))
+    bad = os.path.join(d, [f for f in files if "_g0_a0" in f][0])
+    with open(bad, "wb") as f:
+        f.write(b"not an npz")
+    ds = AugmentedShards(d, crop_size=(32, 48), seed=0)
+    s = ds[0]  # index 0 -> corrupt file -> falls through to next
+    assert s["image1"].shape == (32, 48, 3)
+
+
+def test_loader_batches(shard_dir):
+    ds = AugmentedShards(shard_dir, crop_size=(32, 48), seed=0)
+    loader = Loader(ds, batch_size=4, num_workers=2, seed=0,
+                    process_index=0, process_count=1)
+    it = iter(loader)
+    batch = next(it)
+    assert batch["image1"].shape == (4, 32, 48, 3)
+    assert batch["flow"].shape == (4, 32, 48, 2)
+    batch2 = next(it)
+    assert batch2["image1"].shape == (4, 32, 48, 3)
+
+
+def test_loader_process_sharding(shard_dir):
+    """Two processes draw disjoint strides of the same permutation."""
+    ds = AugmentedShards(shard_dir, crop_size=(32, 48), seed=0)
+    l0 = Loader(ds, batch_size=4, num_workers=1, seed=7,
+                process_index=0, process_count=2)
+    l1 = Loader(ds, batch_size=4, num_workers=1, seed=7,
+                process_index=1, process_count=2)
+    from itertools import islice
+    i0 = list(islice(l0._index_stream(), 60))
+    i1 = list(islice(l1._index_stream(), 60))
+    assert set(i0[:30]).isdisjoint(set(i1[:30]))
+    assert l0.local_batch == 2
+
+
+def test_one_hot_label_mapping():
+    np.testing.assert_array_equal(one_hot(0), [1, 0, 0, 0])
+    np.testing.assert_array_equal(one_hot(3), [0, 0, 0, 1])
