@@ -43,14 +43,16 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path: str, state: TrainState, step: int) -> str:
-    """Full checkpoint (params+opt+step) at ``path/step_<N>``."""
-    target = os.path.join(os.path.abspath(path), f"step_{step}")
+def save_checkpoint(path: str, state: TrainState,
+                    name: str = "latest") -> str:
+    """Full checkpoint (params+opt+step) at ``path/<name>``
+    (the reference's checkpoint_latest.pth scheme, `main.py:509-518`)."""
+    target = os.path.join(os.path.abspath(path), name)
     payload = {
         "params": state.params,
         "opt_state": state.opt_state,
         "batch_stats": state.batch_stats,
-        "step": jnp.asarray(step),
+        "step": jnp.asarray(int(state.step)),
     }
     _ckptr().save(target, payload, force=True)
     return target
