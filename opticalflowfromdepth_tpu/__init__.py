@@ -17,3 +17,16 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some environments pre-import jax (sitecustomize), after which the
+    # JAX_PLATFORMS env var is silently ignored; re-apply it so CLI users
+    # can still force e.g. JAX_PLATFORMS=cpu.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

@@ -101,7 +101,8 @@ class TrainRunner:
                 if nxt % cfg.save_ckpt_freq == 0 and \
                         jax.process_index() == 0:
                     save_weights(ckpt_dir, self.state.params,
-                                 name=f"step_{nxt}_weights")
+                                 name=f"step_{nxt}_weights",
+                                 batch_stats=self.state.batch_stats)
                 if nxt % cfg.val_freq == 0:
                     self.validate(nxt)
         dt = time.time() - t0

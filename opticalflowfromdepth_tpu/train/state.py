@@ -58,10 +58,17 @@ def save_checkpoint(path: str, state: TrainState,
     return target
 
 
-def save_weights(path: str, params, name: str = "weights") -> str:
-    """Weights-only checkpoint for stage chaining (`train_mixed.sh:3-6`)."""
+def save_weights(path: str, params, name: str = "weights",
+                 batch_stats=None) -> str:
+    """Weights-only checkpoint for stage chaining (`train_mixed.sh:3-6`).
+
+    Includes BN running stats when present — torch state_dicts carry them,
+    and eval needs them."""
     target = os.path.join(os.path.abspath(path), name)
-    _ckptr().save(target, {"params": params}, force=True)
+    payload = {"params": params}
+    if batch_stats is not None:
+        payload["batch_stats"] = batch_stats
+    _ckptr().save(target, payload, force=True)
     return target
 
 
@@ -74,8 +81,9 @@ def load_checkpoint(target: str, state: TrainState) -> TrainState:
         "step": jnp.asarray(0),
     }
     import orbax.checkpoint as ocp
-    restored = _ckptr().restore(os.path.abspath(target),
-                                args=ocp.args.PyTreeRestore(item=template))
+    restored = _ckptr().restore(
+        os.path.abspath(target),
+        restore_args=ocp.checkpoint_utils.construct_restore_args(template))
     return state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
@@ -84,10 +92,18 @@ def load_checkpoint(target: str, state: TrainState) -> TrainState:
     )
 
 
-def load_weights(target: str, params):
-    """Weights-only warm start (strict=False analog: template-shaped)."""
+def load_weights(target: str, params, batch_stats=None):
+    """Weights-only warm start (strict=False analog: template-shaped).
+
+    Returns params, or (params, batch_stats) when a batch_stats template
+    is given."""
     import orbax.checkpoint as ocp
-    restored = _ckptr().restore(os.path.abspath(target),
-                                args=ocp.args.PyTreeRestore(
-                                    item={"params": params}))
+    item = {"params": params}
+    if batch_stats is not None:
+        item["batch_stats"] = batch_stats
+    restored = _ckptr().restore(
+        os.path.abspath(target),
+        restore_args=ocp.checkpoint_utils.construct_restore_args(item))
+    if batch_stats is not None:
+        return restored["params"], restored["batch_stats"]
     return restored["params"]
