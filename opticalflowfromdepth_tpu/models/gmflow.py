@@ -32,11 +32,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.geometry import pixel_grid
+from ..ops.flash import flash_softmax_matmul
 from ..ops.sampling import flow_warp
 from .layers import Conv, InstanceNorm, kaiming_init
 from .raft import convex_upsample
 
 Dtype = Any
+
+
+def _use_flash() -> bool:
+    """Pallas streaming softmax on TPU; dense XLA elsewhere (CPU tests)."""
+    return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +189,10 @@ def shift_window_attn_mask(h: int, w: int, window_h: int, window_w: int,
 def _full_attention(q, k, v):
     """[B, L, C] single-head attention; `transformer.py:8-16`."""
     c = q.shape[-1]
+    if _use_flash():
+        return flash_softmax_matmul(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16)).astype(v.dtype)
     scores = jnp.einsum("blc,bmc->blm", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores / (c ** 0.5)
@@ -343,6 +353,10 @@ class FeatureFlowAttention(nn.Module):
 
         if not local_window_attn:
             value = flow.reshape(b, h * w, 2)
+            if _use_flash():
+                out = flash_softmax_matmul(query.astype(jnp.bfloat16),
+                                           key.astype(jnp.bfloat16), value)
+                return out.reshape(b, h, w, 2)
             scores = jnp.einsum("blc,bmc->blm", query, key,
                                 preferred_element_type=jnp.float32) / (c ** 0.5)
             prob = jax.nn.softmax(scores, axis=-1)
@@ -382,12 +396,26 @@ def global_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray,
     feature0/1: [B, H, W, C]. Returns (flow [B, H, W, 2], prob).
     """
     b, h, w, c = feature0.shape
-    f0 = feature0.reshape(b, h * w, c).astype(jnp.float32)
-    f1 = feature1.reshape(b, h * w, c).astype(jnp.float32)
+    # bf16 operands, f32 accumulation: the [L, L] product is MXU-bound
+    f0 = feature0.reshape(b, h * w, c).astype(jnp.bfloat16)
+    f1 = feature1.reshape(b, h * w, c).astype(jnp.bfloat16)
+    grid = jnp.moveaxis(pixel_grid(h, w), 0, -1).reshape(h * w, 2)
+
+    if _use_flash():
+        # streaming softmax @ grid: the [L, L] volume never materializes
+        gv = jnp.broadcast_to(grid[None], (b, h * w, 2))
+        corr_fwd = flash_softmax_matmul(f0, f1, gv)
+        if pred_bidir_flow:
+            corr_bwd = flash_softmax_matmul(f1, f0, gv)
+            correspondence = jnp.concatenate([corr_fwd, corr_bwd], axis=0)
+            b = b * 2
+        else:
+            correspondence = corr_fwd
+        flow = correspondence.reshape(b, h, w, 2) - grid.reshape(1, h, w, 2)
+        return flow, None
+
     corr = jnp.einsum("blc,bmc->blm", f0, f1,
                       preferred_element_type=jnp.float32) / (c ** 0.5)
-
-    grid = jnp.moveaxis(pixel_grid(h, w), 0, -1).reshape(h * w, 2)
     if pred_bidir_flow:
         corr = jnp.concatenate([corr, jnp.swapaxes(corr, 1, 2)], axis=0)
         b = b * 2

@@ -31,17 +31,23 @@ def kaiming_init():
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm2d(affine=False): normalize over (H, W) per sample/channel."""
+    """InstanceNorm2d(affine=False): normalize over (H, W) per sample/channel.
+
+    Stats accumulate in f32 but the normalize stays in the input dtype —
+    an f32 elementwise path doubles HBM traffic and measured ~2x slower
+    per conv+IN+relu block on v5e (bf16 rounding of the normalized value
+    is within the network's own precision)."""
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        # x: [B, H, W, C]; stats in f32 for stability
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.var(xf, axis=(1, 2), keepdims=True)
-        out = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
-        return out.astype(x.dtype)
+        import jax
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                         axis=(1, 2), keepdims=True)
+        var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
+        scale = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
 
 
 def make_norm(norm_fn: str, num_groups: Optional[int] = None,

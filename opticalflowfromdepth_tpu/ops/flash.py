@@ -1,0 +1,146 @@
+"""Flash (streaming-softmax) attention — Pallas TPU kernel.
+
+The reference materializes every [L, L] softmax it takes:
+  * global matching `softmax(f0 @ f1^T) @ grid` (`gmflow/matching.py:7-36`),
+  * flow propagation `softmax(q @ k^T) @ flow` (`transformer.py:325-374`),
+  * transformer attention (`transformer.py:8-16`).
+At Sintel eval shape L = 7168 that is a 51M-element tensor (205 MB f32)
+written+read around the softmax — pure HBM traffic. This kernel computes
+``softmax(q @ k^T * scale) @ v`` with an online (running max / running
+denominator) softmax over key tiles, so the score matrix never leaves
+VMEM: O(L·C) HBM traffic instead of O(L²).
+
+Layout: q [B, Lq, C], k [B, Lk, C], v [B, Lk, D] -> out [B, Lq, D].
+bf16 operands on the MXU, f32 accumulation. Lq/Lk are padded to tile
+multiples by the wrapper; key padding is masked inside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                  lk_valid: int, block_k: int):
+    """One (batch, query-tile) program: stream over key tiles."""
+    q = q_ref[0].astype(jnp.bfloat16)              # [TQ, C]
+    tq = q.shape[0]
+    d = v_ref.shape[-1]
+    lk = k_ref.shape[1]
+    num_k = lk // block_k
+
+    def body(ik, carry):
+        m_prev, l_prev, acc = carry
+        k_tile = k_ref[0, pl.ds(ik * block_k, block_k), :].astype(
+            jnp.bfloat16)                           # [TK, C]
+        v_tile = v_ref[0, pl.ds(ik * block_k, block_k), :].astype(
+            jnp.bfloat16)                           # [TK, D]
+        s = jax.lax.dot_general(
+            q, k_tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [TQ, TK]
+
+        # mask out key padding
+        key_idx = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (tq, block_k), 1)
+        s = jnp.where(key_idx < lk_valid, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)          # [TQ, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)                      # rescale old
+        p = jnp.exp(s - m_new)                               # [TQ, TK]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [TQ, D]
+        return m_new, l_new, acc
+
+    m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((tq, 1), jnp.float32)
+    acc0 = jnp.zeros((tq, d), jnp.float32)
+    _, l_fin, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         scale: Optional[float] = None,
+                         block_q: int = 512, block_k: int = 1024,
+                         interpret: bool = False) -> jnp.ndarray:
+    """softmax(q @ k^T * scale) @ v without materializing [Lq, Lk].
+
+    q: [B, Lq, C]; k: [B, Lk, C]; v: [B, Lk, D]. Returns [B, Lq, D] f32.
+    """
+    b, lq, c = q.shape
+    _, lk, d = v.shape
+    if scale is None:
+        scale = 1.0 / (c ** 0.5)
+
+    # lane-align the tiny D of matching/propagation payloads
+    d_pad = max((-d) % 128, 0)
+    if d_pad:
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, d_pad)))
+
+    block_q = min(block_q, max(lq, 8))
+    block_k = min(block_k, max(lk, 128))
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, block_k)
+    vp = _pad_to(v, 1, block_k)
+    lq_pad, lk_pad = qp.shape[1], kp.shape[1]
+
+    kernel = functools.partial(_flash_kernel, scale=float(scale),
+                               lk_valid=lk, block_k=block_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, lq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda ib, iq: (ib, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, c), lambda ib, iq: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, v.shape[-1]),
+                         lambda ib, iq: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, v.shape[-1]),
+                               lambda ib, iq: (ib, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, v.shape[-1]),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * lq_pad * lk_pad * (c + v.shape[-1]),
+            bytes_accessed=(qp.size + kp.size + vp.size) * 2,
+            transcendentals=b * lq_pad * lk_pad,
+        ),
+    )(qp, kp, vp)
+    return out[:, :lq, :d]
+
+
+def flash_softmax_matmul_ref(q, k, v, scale=None):
+    """Dense XLA oracle for tests."""
+    c = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (c ** 0.5)
+    s = jnp.einsum("blc,bmc->blm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("blm,bmd->bld", p, v.astype(jnp.float32))

@@ -1,0 +1,43 @@
+"""Flash streaming-softmax kernel vs dense oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opticalflowfromdepth_tpu.ops.flash import (
+    flash_softmax_matmul, flash_softmax_matmul_ref)
+
+
+@pytest.mark.parametrize("b,lq,lk,c,d", [
+    (1, 256, 256, 64, 2),      # matching-style payload
+    (2, 128, 384, 32, 128),    # attention-style payload
+    (1, 200, 300, 64, 2),      # non-multiple lengths (padding paths)
+])
+def test_flash_matches_dense(b, lq, lk, c, d):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, lq, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, lk, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, lk, d)).astype(np.float32))
+    got = np.asarray(flash_softmax_matmul(q, k, v, block_q=128, block_k=128,
+                                          interpret=True))
+    want = np.asarray(flash_softmax_matmul_ref(q, k, v))
+    # bf16 operands inside the kernel -> ~1e-2 tolerance
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+
+def test_flash_extreme_logits_stable():
+    """Online softmax must survive large score magnitudes."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 128, 32)).astype(np.float32)) * 30
+    k = jnp.asarray(rng.normal(size=(1, 256, 32)).astype(np.float32)) * 30
+    v = jnp.asarray(rng.normal(size=(1, 256, 2)).astype(np.float32))
+    got = np.asarray(flash_softmax_matmul(q, k, v, block_q=128, block_k=128,
+                                          interpret=True))
+    # with near-one-hot softmax the bf16 rounding of q/k can flip the
+    # argmax; compare against an oracle with the same operand rounding
+    want = np.asarray(flash_softmax_matmul_ref(
+        q.astype(jnp.bfloat16).astype(jnp.float32),
+        k.astype(jnp.bfloat16).astype(jnp.float32), v))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
