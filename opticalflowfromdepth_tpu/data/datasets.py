@@ -311,11 +311,14 @@ class AugmentedShards:
     def _load(self, index: int) -> Dict[str, np.ndarray]:
         """Corrupt files fall through to the next index
         (`dataloader.py:81-91`)."""
+        from . import native_io
+
         for off in range(len(self.files)):
             path = self.files[(index + off) % len(self.files)]
             try:
-                with np.load(path) as z:
-                    return {k: z[k] for k in z.files}
+                # C++ decode pool (native/shardio.cc) when built; np.load
+                # fallback otherwise — identical dict-of-array contract.
+                return native_io.load_npz(path)
             except Exception:
                 continue
         raise RuntimeError(f"all shards unreadable under {self.root}")
