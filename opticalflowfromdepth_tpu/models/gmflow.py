@@ -443,14 +443,19 @@ def local_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray,
     valid = ((sample[..., 0] >= 0) & (sample[..., 0] < w) &
              (sample[..., 1] >= 0) & (sample[..., 1] < h))
 
-    # integer window offsets -> gather neighborhoods via patch extraction
-    f1_win = jax.lax.conv_general_dilated_patches(
-        feature1.transpose(0, 3, 1, 2).astype(jnp.float32), (k, k), (1, 1),
-        "SAME")
-    f1_win = f1_win.reshape(b, c, k * k, h * w)  # (c, ky*kx) ordering
-    corr = jnp.einsum("blc,bckl->blk", feature0.reshape(b, h * w, c)
-                      .astype(jnp.float32), f1_win,
-                      preferred_element_type=jnp.float32) / (c ** 0.5)
+    # k^2 shifted mult-reduces instead of patch extraction: the patches
+    # tensor [B, C*k^2, H, W] is ~C x larger than the output and blows HBM at
+    # 1/4 res (refinement scale); shifted products keep peak memory at the
+    # [B, L, k^2] output + one padded feature map, and XLA fuses each
+    # slice+mul+reduce. Window order matches `window` above (dy-major).
+    f0 = feature0.astype(jnp.float32)
+    f1p = jnp.pad(feature1.astype(jnp.float32),
+                  ((0, 0), (r, r), (r, r), (0, 0)))
+    corr = jnp.stack(
+        [jnp.sum(f0 * jax.lax.dynamic_slice(
+            f1p, (0, r + dy, r + dx, 0), (b, h, w, c)), axis=-1)
+         for dy in range(-r, r + 1) for dx in range(-r, r + 1)],
+        axis=-1).reshape(b, h * w, k * k) / (c ** 0.5)
     corr = jnp.where(valid, corr, -1e9)
     prob = jax.nn.softmax(corr, axis=-1)  # [B, L, K2]
     correspondence = jnp.einsum("blk,blkd->bld", prob,
