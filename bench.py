@@ -6,16 +6,23 @@ Mirrors the reference's `count_time` harness (`adjusted_gmflow/evaluate.py:
 baselines (`adjusted_gmflow/README.md:52`): 57 ms on V100, 26 ms on A100.
 vs_baseline reports the A100 speedup factor (26 / ours).
 
-Methodology: executions are CHAINED through a data dependency and the
-chain is fenced by fetching one scalar — on remote/tunneled devices
-`block_until_ready` can return before execution completes, which makes
-naive per-call timing report dispatch latency instead of device latency.
+Methodology: the reference times `model(...)` bracketed by
+`torch.cuda.synchronize()` — pure device execution, with local-PCIe
+dispatch cost (~us) amortized to zero. On a tunneled TPU each dispatch is
+an RPC (tens of ms, variable), and `block_until_ready` can return before
+execution completes, so per-call wall timing measures the tunnel, not the
+chip. We therefore run N forwards INSIDE one jit (`lax.fori_loop`, each
+iteration data-dependent on the last via a carry folded into the input)
+and difference two loop lengths: (t[N1] - t[N0]) / (N1 - N0) cancels the
+single dispatch + scalar-fetch overhead and yields per-forward device
+latency — the same quantity the reference reports.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -40,9 +47,9 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        h, w, chain_len, reps = 448, 1024, 10, 3
+        h, w, n0, n1, reps = 448, 1024, 2, 12, 3
     else:  # CPU smoke mode: tiny shape, still one honest JSON line
-        h, w, chain_len, reps = 64, 128, 2, 1
+        h, w, n0, n1, reps = 64, 128, 1, 3, 1
 
     model = GMFlow(num_scales=1,
                    dtype=jnp.bfloat16 if on_tpu else jnp.float32)
@@ -51,25 +58,30 @@ def main() -> None:
     img1 = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0, img1)
 
-    @jax.jit
-    def fwd_chain(variables, img0, img1, carry):
-        out = model.apply(variables, img0 + carry * 0.0, img1,
-                          attn_splits_list=(2,), corr_radius_list=(-1,),
-                          prop_radius_list=(-1,), training=False)
-        return jnp.sum(out["flow_preds"][-1])
+    @functools.partial(jax.jit, static_argnums=3)
+    def loop_n(variables, img0, img1, n):
+        def body(_, carry):
+            out = model.apply(variables, img0 + carry * 0.0, img1,
+                              attn_splits_list=(2,), corr_radius_list=(-1,),
+                              prop_radius_list=(-1,), training=False)
+            return jnp.sum(out["flow_preds"][-1])
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    # warmup (compile + cache)
-    float(fwd_chain(variables, img0, img1, jnp.float32(0.0)))
+    # warmup / compile both loop lengths (float() fetch = real fence)
+    float(loop_n(variables, img0, img1, n0))
+    float(loop_n(variables, img0, img1, n1))
 
     best_ms = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        carry = jnp.float32(0.0)
-        for _ in range(chain_len):
-            carry = fwd_chain(variables, img0, img1, carry)
-        float(carry)  # 4-byte fetch fences the whole chain
-        ms = (time.perf_counter() - t0) / chain_len * 1000.0
-        best_ms = ms if best_ms is None else min(best_ms, ms)
+        float(loop_n(variables, img0, img1, n0))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop_n(variables, img0, img1, n1))
+        t_long = time.perf_counter() - t0
+        ms = (t_long - t_short) / (n1 - n0) * 1000.0
+        if ms > 0:
+            best_ms = ms if best_ms is None else min(best_ms, ms)
 
     print(json.dumps({
         "metric": f"gmflow_infer_latency_{h}x{w}_bs1",
