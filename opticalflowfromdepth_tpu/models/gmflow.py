@@ -220,13 +220,22 @@ def _split_window_attention(q, k, v, num_splits: int, with_shift: bool,
     ks = split_feature(k, num_splits).reshape(-1, wh * ww, c)
     vs = split_feature(v, num_splits).reshape(-1, wh * ww, c)
 
-    scores = jnp.einsum("blc,bmc->blm", qs, ks,
-                        preferred_element_type=jnp.float32) / (c ** 0.5)
-    if with_shift:
-        scores = scores + jnp.tile(attn_mask, (b, 1, 1))
-    attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("blm,bmc->blc", attn.astype(vs.dtype), vs,
-                     preferred_element_type=jnp.float32).astype(vs.dtype)
+    if _use_flash():
+        # windows are just batch entries to the streaming kernel; the
+        # shifted-window mask rides in as an additive bias so the [L, L]
+        # score tensor never reaches HBM
+        bias = jnp.tile(attn_mask, (b, 1, 1)) if with_shift else None
+        out = flash_softmax_matmul(
+            qs.astype(jnp.bfloat16), ks.astype(jnp.bfloat16),
+            vs.astype(jnp.bfloat16), bias=bias).astype(vs.dtype)
+    else:
+        scores = jnp.einsum("blc,bmc->blm", qs, ks,
+                            preferred_element_type=jnp.float32) / (c ** 0.5)
+        if with_shift:
+            scores = scores + jnp.tile(attn_mask, (b, 1, 1))
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("blm,bmc->blc", attn.astype(vs.dtype), vs,
+                         preferred_element_type=jnp.float32).astype(vs.dtype)
     out = merge_splits(out.reshape(-1, wh, ww, c), num_splits)
     if with_shift:
         out = jnp.roll(out, (wh // 2, ww // 2), axis=(1, 2))

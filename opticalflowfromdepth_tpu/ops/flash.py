@@ -28,9 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                  lk_valid: int, block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale: float,
+                  lk_valid: int, block_k: int, has_bias: bool):
     """One (batch, query-tile) program: stream over key tiles."""
+    if has_bias:
+        bias_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     q = q_ref[0].astype(jnp.bfloat16)              # [TQ, C]
     tq = q.shape[0]
     d = v_ref.shape[-1]
@@ -46,6 +50,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         s = jax.lax.dot_general(
             q, k_tile, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [TQ, TK]
+        if has_bias:
+            s = s + bias_ref[0, :, pl.ds(ik * block_k, block_k)
+                             ].astype(jnp.float32)
 
         # mask out key padding
         key_idx = ik * block_k + jax.lax.broadcasted_iota(
@@ -83,11 +90,14 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
                                              "interpret"))
 def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          scale: Optional[float] = None,
+                         bias: Optional[jnp.ndarray] = None,
                          block_q: int = 512, block_k: int = 1024,
                          interpret: bool = False) -> jnp.ndarray:
-    """softmax(q @ k^T * scale) @ v without materializing [Lq, Lk].
+    """softmax(q @ k^T * scale + bias) @ v without materializing [Lq, Lk].
 
-    q: [B, Lq, C]; k: [B, Lk, C]; v: [B, Lk, D]. Returns [B, Lq, D] f32.
+    q: [B, Lq, C]; k: [B, Lk, C]; v: [B, Lk, D]; optional additive bias
+    [B, Lq, Lk] (e.g. Swin shifted-window masks — broadcast it to B before
+    the call). Returns [B, Lq, D] f32.
     """
     b, lq, c = q.shape
     _, lk, d = v.shape
@@ -106,20 +116,31 @@ def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vp = _pad_to(v, 1, block_k)
     lq_pad, lk_pad = qp.shape[1], kp.shape[1]
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, c), lambda ib, iq: (ib, iq, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk_pad, c), lambda ib, iq: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk_pad, v.shape[-1]),
+                     lambda ib, iq: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qp, kp, vp]
+    if bias is not None:
+        bp = _pad_to(_pad_to(bias.astype(jnp.float32), 2, block_k),
+                     1, block_q)
+        in_specs.append(
+            pl.BlockSpec((1, block_q, lk_pad), lambda ib, iq: (ib, iq, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(bp)
+
     kernel = functools.partial(_flash_kernel, scale=float(scale),
-                               lk_valid=lk, block_k=block_k)
+                               lk_valid=lk, block_k=block_k,
+                               has_bias=bias is not None)
     out = pl.pallas_call(
         kernel,
         grid=(b, lq_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, c), lambda ib, iq: (ib, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, c), lambda ib, iq: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, v.shape[-1]),
-                         lambda ib, iq: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, v.shape[-1]),
                                lambda ib, iq: (ib, iq, 0),
                                memory_space=pltpu.VMEM),
@@ -131,16 +152,18 @@ def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             bytes_accessed=(qp.size + kp.size + vp.size) * 2,
             transcendentals=b * lq_pad * lk_pad,
         ),
-    )(qp, kp, vp)
+    )(*operands)
     return out[:, :lq, :d]
 
 
-def flash_softmax_matmul_ref(q, k, v, scale=None):
+def flash_softmax_matmul_ref(q, k, v, scale=None, bias=None):
     """Dense XLA oracle for tests."""
     c = q.shape[-1]
     if scale is None:
         scale = 1.0 / (c ** 0.5)
     s = jnp.einsum("blc,bmc->blm", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("blm,bmd->bld", p, v.astype(jnp.float32))

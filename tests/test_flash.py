@@ -26,6 +26,23 @@ def test_flash_matches_dense(b, lq, lk, c, d):
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
 
 
+def test_flash_with_additive_bias():
+    """Swin shifted-window masks enter as an additive [B, Lq, Lk] bias."""
+    rng = np.random.default_rng(2)
+    b, lq, lk, c, d = 2, 160, 288, 32, 64
+    q = jnp.asarray(rng.normal(size=(b, lq, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, lk, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, lk, d)).astype(np.float32))
+    # mask-like bias: blocks of -100 (as in shift_window_attn_mask)
+    bias = jnp.asarray(
+        np.where(rng.uniform(size=(b, lq, lk)) < 0.3, -100.0, 0.0)
+        .astype(np.float32))
+    got = np.asarray(flash_softmax_matmul(q, k, v, bias=bias, block_q=128,
+                                          block_k=128, interpret=True))
+    want = np.asarray(flash_softmax_matmul_ref(q, k, v, bias=bias))
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+
 def test_flash_extreme_logits_stable():
     """Online softmax must survive large score magnitudes."""
     rng = np.random.default_rng(1)
