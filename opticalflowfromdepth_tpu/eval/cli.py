@@ -32,6 +32,8 @@ def main(argv=None) -> None:
     p.add_argument("--sintel_dstype", default="clean")
     p.add_argument("--with_speed_metric", action="store_true")
     p.add_argument("--count_time", action="store_true")
+    p.add_argument("--evaluate_matched_unmatched", action="store_true",
+                   help="matched/unmatched EPE via Sintel occlusion maps")
     p.add_argument("--iters", type=int, default=24)
     p.add_argument("--small", action="store_true")
     p.add_argument("--num_scales", type=int, default=1)
@@ -112,7 +114,9 @@ def main(argv=None) -> None:
         if name == "sintel":
             kwargs.update(dstype=args.sintel_dstype,
                           with_speed_metric=args.with_speed_metric,
-                          count_time=args.count_time)
+                          count_time=args.count_time,
+                          evaluate_matched_unmatched=(
+                              args.evaluate_matched_unmatched))
         results.update(V.VALIDATORS[name](infer_fn, **kwargs))
     if results:
         print(json.dumps(results, indent=2))

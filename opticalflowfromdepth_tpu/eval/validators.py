@@ -42,6 +42,17 @@ def _run_padded(infer_fn: InferFn, image1: np.ndarray, image2: np.ndarray,
     return padder.unpad(flow)[0]
 
 
+def in_boundary_mask(flow: np.ndarray) -> np.ndarray:
+    """[H, W] mask of gt-flow correspondences landing inside the frame
+    (`adjusted_gmflow/utils/utils.py:36-54`). flow: [H, W, 2] (x, y)."""
+    h, w = flow.shape[:2]
+    xs = np.arange(w, dtype=np.float32)[None, :] + flow[..., 0]
+    ys = np.arange(h, dtype=np.float32)[:, None] + flow[..., 1]
+    inb = (xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1)
+    sane = (np.abs(flow[..., 0]) <= w - 1) & (np.abs(flow[..., 1]) <= h - 1)
+    return (inb & sane).astype(np.float32)
+
+
 def validate_chairs(infer_fn: InferFn, root: str = "datasets",
                     padding_factor: int = 8) -> Dict[str, float]:
     """`adjusted_RAFT/evaluate.py:77-97`."""
@@ -85,11 +96,16 @@ def validate_sintel(infer_fn: InferFn, root: str = "datasets",
                     dstype: str = "clean", padding_factor: int = 8,
                     with_speed_metric: bool = False,
                     count_time: bool = False,
+                    evaluate_matched_unmatched: bool = False,
                     timing_runs: int = 100) -> Dict[str, float]:
     """`adjusted_RAFT/evaluate.py:100-130`, speed buckets + timing
-    (`adjusted_gmflow/evaluate.py:287-430`)."""
-    ds = D.MpiSintel(split="training", dstype=dstype, root=f"{root}/Sintel")
+    (`adjusted_gmflow/evaluate.py:287-430`), matched/unmatched EPE via
+    Sintel occlusion maps (`adjusted_gmflow/evaluate.py:306,362-367,
+    418-426`: matched = non-occluded ∧ in-frame)."""
+    ds = D.MpiSintel(split="training", dstype=dstype, root=f"{root}/Sintel",
+                     load_occlusion=evaluate_matched_unmatched)
     epes = []
+    matched, unmatched = [], []
     buckets = {"s0_10": [], "s10_40": [], "s40+": []}
     results: Dict[str, float] = {}
 
@@ -111,6 +127,12 @@ def validate_sintel(infer_fn: InferFn, root: str = "datasets",
                            padding_factor)
         em = _epe_map(flow, s["flow"])
         epes.append(em.reshape(-1))
+        if evaluate_matched_unmatched and "occlusion" in s:
+            noc_valid = 1.0 - s["occlusion"]  # 1 = non-occluded
+            m = (noc_valid > 0.5) & (in_boundary_mask(s["flow"]) > 0.5)
+            if m.max() > 0:
+                matched.append(em[m])
+                unmatched.append(em[~m])
         if with_speed_metric:
             mag = np.sqrt(np.sum(s["flow"] ** 2, axis=-1))
             buckets["s0_10"].append(em[mag < 10])
@@ -127,6 +149,11 @@ def validate_sintel(infer_fn: InferFn, root: str = "datasets",
             vv = np.concatenate(v) if v else np.zeros(0)
             results[f"sintel_{dstype}_{k}"] = (
                 float(vv.mean()) if vv.size else 0.0)
+    if evaluate_matched_unmatched and matched:
+        results[f"sintel_{dstype}_matched"] = float(
+            np.concatenate(matched).mean())
+        results[f"sintel_{dstype}_unmatched"] = float(
+            np.concatenate(unmatched).mean())
     return results
 
 

@@ -76,7 +76,7 @@ def fake_bench_root(tmp_path_factory):
 
     # Sintel: one scene, 3 frames, 2 flows
     sc = root / "Sintel" / "training"
-    for sub in ("clean/alley_1", "flow/alley_1"):
+    for sub in ("clean/alley_1", "flow/alley_1", "occlusions/alley_1"):
         (sc / sub).mkdir(parents=True)
     h, w = 64, 96
     for i in range(3):
@@ -85,6 +85,10 @@ def fake_bench_root(tmp_path_factory):
     for i in range(2):
         frame_io.write_flo(str(sc / "flow/alley_1" / f"frame_{i:04d}.flo"),
                            np.full((h, w, 2), 1.5, np.float32))
+        occ = np.zeros((h, w), np.uint8)
+        occ[:, : w // 2] = 255  # left half occluded
+        cv2.imwrite(str(sc / "occlusions/alley_1" / f"frame_{i:04d}.png"),
+                    occ)
 
     # KITTI: 2 pairs
     kt = root / "KITTI" / "training"
@@ -126,6 +130,35 @@ def test_validate_kitti_fake(fake_bench_root):
     res_bad = validate_kitti(constant_infer(10.0), root=fake_bench_root)
     # epe = 12*sqrt(2) > 3 and epe/mag >> 0.05 everywhere -> Fl-all = 100
     assert res_bad["kitti_f1"] == pytest.approx(100.0, abs=1e-4)
+
+
+def test_validate_sintel_matched_unmatched(fake_bench_root):
+    """Matched = non-occluded ∧ in-frame (`adjusted_gmflow/evaluate.py:363`).
+
+    Infer (1.5, 1.5) on gt (1.5, 1.5): EPE 0 everywhere, so both matched
+    (right half) and unmatched (occluded left half) EPE are 0; with a wrong
+    prediction both become 1.5*sqrt(2).
+    """
+    res = validate_sintel(constant_infer(1.5), root=fake_bench_root,
+                          dstype="clean", evaluate_matched_unmatched=True)
+    assert res["sintel_clean_matched"] == pytest.approx(0.0, abs=1e-5)
+    assert res["sintel_clean_unmatched"] == pytest.approx(0.0, abs=1e-5)
+    res_bad = validate_sintel(constant_infer(0.0), root=fake_bench_root,
+                              dstype="clean",
+                              evaluate_matched_unmatched=True)
+    assert res_bad["sintel_clean_matched"] == pytest.approx(
+        1.5 * np.sqrt(2), abs=1e-4)
+    assert res_bad["sintel_clean_unmatched"] == pytest.approx(
+        1.5 * np.sqrt(2), abs=1e-4)
+
+
+def test_in_boundary_mask_semantics():
+    from opticalflowfromdepth_tpu.eval.validators import in_boundary_mask
+    h, w = 8, 8
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[:, -1, 0] = 5.0  # last column points out of frame
+    m = in_boundary_mask(flow)
+    assert m[:, -1].max() == 0.0 and m[:, :-1].min() == 1.0
 
 
 def test_validate_sintel_count_time(fake_bench_root):
