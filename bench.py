@@ -9,20 +9,22 @@ vs_baseline reports the A100 speedup factor (26 / ours).
 Methodology: the reference times `model(...)` bracketed by
 `torch.cuda.synchronize()` — pure device execution, with local-PCIe
 dispatch cost (~us) amortized to zero. On a tunneled TPU each dispatch is
-an RPC (tens of ms, variable), and `block_until_ready` can return before
-execution completes, so per-call wall timing measures the tunnel, not the
-chip. We therefore run N forwards INSIDE one jit (`lax.fori_loop`, each
-iteration data-dependent on the last via a carry folded into the input)
-and difference two loop lengths: (t[N1] - t[N0]) / (N1 - N0) cancels the
-single dispatch + scalar-fetch overhead and yields per-forward device
-latency — the same quantity the reference reports.
+an RPC and `block_until_ready` returns before execution completes
+(measured ~0.1 ms "latency" for a 14 ms program), so per-call wall timing
+is meaningless. Instead we exploit in-order device execution: enqueue N
+async forwards back-to-back, then fetch one scalar from the LAST output —
+a real fence, since the value can only exist after every earlier program
+drained the queue. Differencing two enqueue counts, (t[N1] - t[N0]) /
+(N1 - N0), cancels the dispatch + fetch overhead and yields per-forward
+device latency — the same quantity the reference reports. (A
+`lax.fori_loop`-of-forwards variant measures the same number but makes
+XLA compile 15x slower; avoided deliberately.)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -47,7 +49,7 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        h, w, n0, n1, reps = 448, 1024, 2, 12, 3
+        h, w, n0, n1, reps = 448, 1024, 3, 23, 3
     else:  # CPU smoke mode: tiny shape, still one honest JSON line
         h, w, n0, n1, reps = 64, 128, 1, 3, 1
 
@@ -58,27 +60,30 @@ def main() -> None:
     img1 = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0, img1)
 
-    @functools.partial(jax.jit, static_argnums=3)
-    def loop_n(variables, img0, img1, n):
-        def body(_, carry):
-            out = model.apply(variables, img0 + carry * 0.0, img1,
-                              attn_splits_list=(2,), corr_radius_list=(-1,),
-                              prop_radius_list=(-1,), training=False)
-            return jnp.sum(out["flow_preds"][-1])
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    @jax.jit
+    def fwd(variables, img0, img1):
+        out = model.apply(variables, img0, img1,
+                          attn_splits_list=(2,), corr_radius_list=(-1,),
+                          prop_radius_list=(-1,), training=False)
+        return jnp.sum(out["flow_preds"][-1])
 
-    # warmup / compile both loop lengths (float() fetch = real fence)
-    float(loop_n(variables, img0, img1, n0))
-    float(loop_n(variables, img0, img1, n1))
+    def run_chain(n: int) -> float:
+        """Enqueue n forwards, fence on the last one's scalar output."""
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            r = fwd(variables, img0, img1)
+        float(r)  # host fetch = real fence for the whole in-order queue
+        return time.perf_counter() - t0
+
+    # warmup / compile (float fetch = real fence)
+    run_chain(1)
+    run_chain(n0)
 
     best_ms = None
     for _ in range(reps):
-        t0 = time.perf_counter()
-        float(loop_n(variables, img0, img1, n0))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop_n(variables, img0, img1, n1))
-        t_long = time.perf_counter() - t0
+        t_short = run_chain(n0)
+        t_long = run_chain(n1)
         ms = (t_long - t_short) / (n1 - n0) * 1000.0
         if ms > 0:
             best_ms = ms if best_ms is None else min(best_ms, ms)

@@ -10,6 +10,15 @@ written+read around the softmax — pure HBM traffic. This kernel computes
 denominator) softmax over key tiles, so the score matrix never leaves
 VMEM: O(L·C) HBM traffic instead of O(L²).
 
+Kernel structure: 3-D grid ``(batch, q-tile, k-tile)`` with the k axis
+innermost and sequential; the running max / denominator / output
+accumulator live in VMEM scratch that persists across the k-tile sweep
+(the standard TPU flash decomposition). Keeping each program's blocks
+small — (block_q, C) and (block_k, C) — instead of holding the full-length
+K/V in one program's VMEM is essential: a VMEM-resident L=7168 operand
+makes the Mosaic compile pathological (~160 s measured on v5e) while this
+form compiles in seconds and lets Pallas double-buffer the K/V tile DMAs.
+
 Layout: q [B, Lq, C], k [B, Lk, C], v [B, Lk, D] -> out [B, Lq, D].
 bf16 operands on the MXU, f32 accumulation. Lq/Lk are padded to tile
 multiples by the wrapper; key padding is masked inside the kernel.
@@ -28,52 +37,53 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale: float,
-                  lk_valid: int, block_k: int, has_bias: bool):
-    """One (batch, query-tile) program: stream over key tiles."""
+def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale: float, lk_valid: int,
+                  num_k: int, block_k: int, has_bias: bool):
+    """One (batch, q-tile, k-tile) program; k is the sequential axis."""
     if has_bias:
-        bias_ref, o_ref = rest
+        bias_ref, o_ref, m_sc, l_sc, acc_sc = rest
     else:
-        (o_ref,) = rest
-    q = q_ref[0].astype(jnp.bfloat16)              # [TQ, C]
+        o_ref, m_sc, l_sc, acc_sc = rest
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_sc[...] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[...] = jnp.zeros_like(l_sc)
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+
+    q = q_ref[0].astype(jnp.bfloat16)               # [TQ, C]
+    k_tile = k_ref[0].astype(jnp.bfloat16)          # [TK, C]
+    v_tile = v_ref[0].astype(jnp.bfloat16)          # [TK, D]
     tq = q.shape[0]
-    d = v_ref.shape[-1]
-    lk = k_ref.shape[1]
-    num_k = lk // block_k
 
-    def body(ik, carry):
-        m_prev, l_prev, acc = carry
-        k_tile = k_ref[0, pl.ds(ik * block_k, block_k), :].astype(
-            jnp.bfloat16)                           # [TK, C]
-        v_tile = v_ref[0, pl.ds(ik * block_k, block_k), :].astype(
-            jnp.bfloat16)                           # [TK, D]
-        s = jax.lax.dot_general(
-            q, k_tile, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [TQ, TK]
-        if has_bias:
-            s = s + bias_ref[0, :, pl.ds(ik * block_k, block_k)
-                             ].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k_tile, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [TQ, TK]
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
 
-        # mask out key padding
-        key_idx = ik * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (tq, block_k), 1)
-        s = jnp.where(key_idx < lk_valid, s, NEG_INF)
+    # mask out key padding
+    key_idx = ik * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (tq, block_k), 1)
+    s = jnp.where(key_idx < lk_valid, s, NEG_INF)
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)          # [TQ, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)                      # rescale old
-        p = jnp.exp(s - m_new)                               # [TQ, TK]
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [TQ, D]
-        return m_new, l_new, acc
+    m_prev = m_sc[...]
+    l_prev = l_sc[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)       # [TQ, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                  # rescale old state
+    p = jnp.exp(s - m_new)                           # [TQ, TK]
+    m_sc[...] = m_new
+    l_sc[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_sc[...] = acc_sc[...] * alpha + jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v_tile, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [TQ, D]
 
-    m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((tq, 1), jnp.float32)
-    acc0 = jnp.zeros((tq, d), jnp.float32)
-    _, l_fin, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+    @pl.when(ik == num_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_sc[...] / jnp.maximum(l_sc[...], 1e-30)
+                    ).astype(o_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -91,7 +101,7 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          scale: Optional[float] = None,
                          bias: Optional[jnp.ndarray] = None,
-                         block_q: int = 512, block_k: int = 1024,
+                         block_q: int = 512, block_k: int = 512,
                          interpret: bool = False) -> jnp.ndarray:
     """softmax(q @ k^T * scale + bias) @ v without materializing [Lq, Lk].
 
@@ -115,14 +125,15 @@ def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kp = _pad_to(k, 1, block_k)
     vp = _pad_to(v, 1, block_k)
     lq_pad, lk_pad = qp.shape[1], kp.shape[1]
+    num_k = lk_pad // block_k
 
     in_specs = [
-        pl.BlockSpec((1, block_q, c), lambda ib, iq: (ib, iq, 0),
+        pl.BlockSpec((1, block_q, c), lambda ib, iq, ik: (ib, iq, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lk_pad, c), lambda ib, iq: (ib, 0, 0),
+        pl.BlockSpec((1, block_k, c), lambda ib, iq, ik: (ib, ik, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lk_pad, v.shape[-1]),
-                     lambda ib, iq: (ib, 0, 0),
+        pl.BlockSpec((1, block_k, v.shape[-1]),
+                     lambda ib, iq, ik: (ib, ik, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [qp, kp, vp]
@@ -130,22 +141,30 @@ def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         bp = _pad_to(_pad_to(bias.astype(jnp.float32), 2, block_k),
                      1, block_q)
         in_specs.append(
-            pl.BlockSpec((1, block_q, lk_pad), lambda ib, iq: (ib, iq, 0),
+            pl.BlockSpec((1, block_q, block_k),
+                         lambda ib, iq, ik: (ib, iq, ik),
                          memory_space=pltpu.VMEM))
         operands.append(bp)
 
     kernel = functools.partial(_flash_kernel, scale=float(scale),
-                               lk_valid=lk, block_k=block_k,
+                               lk_valid=lk, num_k=num_k, block_k=block_k,
                                has_bias=bias is not None)
     out = pl.pallas_call(
         kernel,
-        grid=(b, lq_pad // block_q),
+        grid=(b, lq_pad // block_q, num_k),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, v.shape[-1]),
-                               lambda ib, iq: (ib, iq, 0),
+                               lambda ib, iq, ik: (ib, iq, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lq_pad, v.shape[-1]),
                                        jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),            # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),            # denominator
+            pltpu.VMEM((block_q, v.shape[-1]), jnp.float32),  # accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * lq_pad * lk_pad * (c + v.shape[-1]),
