@@ -15,8 +15,11 @@ is meaningless. Instead we exploit in-order device execution: enqueue N
 async forwards back-to-back, then fetch one scalar from the LAST output —
 a real fence, since the value can only exist after every earlier program
 drained the queue. Differencing two enqueue counts, (t[N1] - t[N0]) /
-(N1 - N0), cancels the dispatch + fetch overhead and yields per-forward
-device latency — the same quantity the reference reports. (A
+(N1 - N0), cancels N-independent overhead (fence fetch, warm caches);
+per-call host dispatch remains inside the slope, so the result is device
+latency only while dispatch stays far below the program time — which the
+harness verifies by timing the bare enqueue loop (no fence) and warning
+when dispatch exceeds 10% of the measured slope. (A
 `lax.fori_loop`-of-forwards variant measures the same number but makes
 XLA compile 15x slower; avoided deliberately.)
 
@@ -81,12 +84,32 @@ def main() -> None:
     run_chain(n0)
 
     best_ms = None
+    t_long_last = None
     for _ in range(reps):
         t_short = run_chain(n0)
         t_long = run_chain(n1)
+        t_long_last = t_long
         ms = (t_long - t_short) / (n1 - n0) * 1000.0
         if ms > 0:
             best_ms = ms if best_ms is None else min(best_ms, ms)
+
+    if best_ms is None:
+        # Differencing drowned in clock noise (tiny CPU smoke shapes):
+        # fall back to the honest upper bound t_long / n1.
+        best_ms = t_long_last / n1 * 1000.0
+
+    # Dispatch sanity check: time the bare enqueue loop (no fence). Per-call
+    # dispatch is part of the slope; if it is a significant fraction of the
+    # measured latency the number is dispatch-bound, not device-bound.
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        fwd(variables, img0, img1)
+    dispatch_ms = (time.perf_counter() - t0) / n1 * 1000.0
+    jax.block_until_ready(fwd(variables, img0, img1))
+    if on_tpu and dispatch_ms > 0.1 * best_ms:
+        print(f"WARNING: per-call dispatch {dispatch_ms:.3f} ms exceeds 10% "
+              f"of measured latency {best_ms:.3f} ms; the reported value is "
+              "dispatch-contaminated", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"gmflow_infer_latency_{h}x{w}_bs1",

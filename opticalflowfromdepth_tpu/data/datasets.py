@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import os
 import os.path as osp
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -131,11 +132,26 @@ class MpiSintel(FlowDataset):
                 if load_occlusion:
                     self.occ_list.extend(sorted(
                         glob.glob(osp.join(occ_root, scene, "*.png"))))
+        if load_occlusion and split != "test":
+            # A partially populated occlusions/ tree would silently pair
+            # wrong occlusion maps with frames; fail loudly instead
+            # (the reference indexes occ_list directly and would crash,
+            # `adjusted_gmflow/data/datasets.py:88-94`).
+            if not self.occ_list:
+                warnings.warn(
+                    f"load_occlusion requested but no occlusion maps under "
+                    f"{occ_root}; matched/unmatched metrics will be skipped")
+                self.load_occlusion = False
+            elif len(self.occ_list) != len(self.flow_list):
+                raise ValueError(
+                    f"Sintel occlusions/ is partially populated: "
+                    f"{len(self.occ_list)} occlusion maps vs "
+                    f"{len(self.flow_list)} flows under {occ_root}")
 
     def __getitem__(self, index):
         sample = super().__getitem__(index)
         if self.load_occlusion and not self.is_test and self.occ_list:
-            occ = frame_io.read_image(self.occ_list[index % len(self.occ_list)])
+            occ = frame_io.read_image(self.occ_list[index])
             sample["occlusion"] = (occ[..., 0] > 127).astype(np.float32)
         return sample
 

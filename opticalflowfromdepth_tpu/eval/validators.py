@@ -18,6 +18,7 @@ Metrics mirror the reference:
 from __future__ import annotations
 
 import time
+import warnings
 from typing import Callable, Dict, Optional
 
 import jax
@@ -149,11 +150,16 @@ def validate_sintel(infer_fn: InferFn, root: str = "datasets",
             vv = np.concatenate(v) if v else np.zeros(0)
             results[f"sintel_{dstype}_{k}"] = (
                 float(vv.mean()) if vv.size else 0.0)
-    if evaluate_matched_unmatched and matched:
-        results[f"sintel_{dstype}_matched"] = float(
-            np.concatenate(matched).mean())
-        results[f"sintel_{dstype}_unmatched"] = float(
-            np.concatenate(unmatched).mean())
+    if evaluate_matched_unmatched:
+        if matched:
+            results[f"sintel_{dstype}_matched"] = float(
+                np.concatenate(matched).mean())
+            results[f"sintel_{dstype}_unmatched"] = float(
+                np.concatenate(unmatched).mean())
+        else:
+            warnings.warn(
+                "evaluate_matched_unmatched requested but no occlusion "
+                "data was available; matched/unmatched EPE omitted")
     return results
 
 
