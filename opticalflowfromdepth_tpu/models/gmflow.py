@@ -61,10 +61,10 @@ class _ResBlock(nn.Module):
     def __call__(self, x):
         y = Conv(self.planes, (3, 3), self.stride, self.dilation,
                  use_bias=False, dtype=self.dtype)(x)
-        y = nn.relu(InstanceNorm()(y))
+        y = InstanceNorm(relu=True)(y)
         y = Conv(self.planes, (3, 3), 1, self.dilation, use_bias=False,
                  dtype=self.dtype)(y)
-        y = nn.relu(InstanceNorm()(y))
+        y = InstanceNorm(relu=True)(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = Conv(self.planes, (1, 1), self.stride, dtype=self.dtype)(x)
             x = InstanceNorm()(x)
@@ -222,12 +222,13 @@ def _split_window_attention(q, k, v, num_splits: int, with_shift: bool,
 
     if _use_flash():
         # windows are just batch entries to the streaming kernel; the
-        # shifted-window mask rides in as an additive bias so the [L, L]
-        # score tensor never reaches HBM
-        bias = jnp.tile(attn_mask, (b, 1, 1)) if with_shift else None
+        # shifted-window mask is generated analytically inside the kernel
+        # (swin=...), so neither the [L, L] scores nor the mask ever
+        # reach HBM
+        swin = (num_splits, wh, ww, wh // 2, ww // 2) if with_shift else None
         out = flash_softmax_matmul(
             qs.astype(jnp.bfloat16), ks.astype(jnp.bfloat16),
-            vs.astype(jnp.bfloat16), bias=bias).astype(vs.dtype)
+            vs.astype(jnp.bfloat16), swin=swin).astype(vs.dtype)
     else:
         scores = jnp.einsum("blc,bmc->blm", qs, ks,
                             preferred_element_type=jnp.float32) / (c ** 0.5)

@@ -33,21 +33,18 @@ def kaiming_init():
 class InstanceNorm(nn.Module):
     """InstanceNorm2d(affine=False): normalize over (H, W) per sample/channel.
 
-    Stats accumulate in f32 but the normalize stays in the input dtype —
-    an f32 elementwise path doubles HBM traffic and measured ~2x slower
-    per conv+IN+relu block on v5e (bf16 rounding of the normalized value
-    is within the network's own precision)."""
+    Backed by the fused Pallas kernel (`ops/instance_norm.py`: one stats
+    sweep + one normalize sweep, optional fused ReLU) on TPU; dense XLA
+    elsewhere. Stats accumulate in f32, the normalize stays in the input
+    dtype (bf16 rounding of the normalized value is within the network's
+    own precision)."""
     epsilon: float = 1e-5
+    relu: bool = False
 
     @nn.compact
     def __call__(self, x):
-        import jax
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-        mean2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
-                         axis=(1, 2), keepdims=True)
-        var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
-        scale = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
+        from ..ops.instance_norm import instance_norm
+        return instance_norm(x, self.epsilon, self.relu)
 
 
 def make_norm(norm_fn: str, num_groups: Optional[int] = None,
@@ -73,6 +70,14 @@ def _apply_norm(norm, x, train: bool):
     if isinstance(norm, nn.BatchNorm):
         return norm(x, use_running_average=not train)
     return norm(x)
+
+
+def _norm_relu(norm_fn: str, ng: Optional[int], dtype: Dtype, x,
+               train: bool):
+    """norm -> relu, fused into the InstanceNorm kernel when possible."""
+    if norm_fn == "instance":
+        return InstanceNorm(relu=True)(x)
+    return nn.relu(_apply_norm(make_norm(norm_fn, ng, dtype), x, train))
 
 
 class Conv(nn.Module):
@@ -110,12 +115,10 @@ class ResidualBlock(nn.Module):
         ng = self.planes // 8
         y = Conv(self.planes, (3, 3), self.stride, use_bias=self.use_bias,
                  dtype=self.dtype)(x)
-        y = _apply_norm(make_norm(self.norm_fn, ng, self.dtype), y, train)
-        y = nn.relu(y)
+        y = _norm_relu(self.norm_fn, ng, self.dtype, y, train)
         y = Conv(self.planes, (3, 3), use_bias=self.use_bias,
                  dtype=self.dtype)(y)
-        y = _apply_norm(make_norm(self.norm_fn, ng, self.dtype), y, train)
-        y = nn.relu(y)
+        y = _norm_relu(self.norm_fn, ng, self.dtype, y, train)
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = Conv(self.planes, (1, 1), self.stride, dtype=self.dtype)(x)
             x = _apply_norm(make_norm(self.norm_fn, ng, self.dtype), x, train)
@@ -134,14 +137,11 @@ class BottleneckBlock(nn.Module):
         ng = self.planes // 8
         p4 = self.planes // 4
         y = Conv(p4, (1, 1), dtype=self.dtype)(x)
-        y = _apply_norm(make_norm(self.norm_fn, ng, self.dtype), y, train)
-        y = nn.relu(y)
+        y = _norm_relu(self.norm_fn, ng, self.dtype, y, train)
         y = Conv(p4, (3, 3), self.stride, dtype=self.dtype)(y)
-        y = _apply_norm(make_norm(self.norm_fn, ng, self.dtype), y, train)
-        y = nn.relu(y)
+        y = _norm_relu(self.norm_fn, ng, self.dtype, y, train)
         y = Conv(self.planes, (1, 1), dtype=self.dtype)(y)
-        y = _apply_norm(make_norm(self.norm_fn, ng, self.dtype), y, train)
-        y = nn.relu(y)
+        y = _norm_relu(self.norm_fn, ng, self.dtype, y, train)
         if self.stride != 1:
             x = Conv(self.planes, (1, 1), self.stride, dtype=self.dtype)(x)
             x = _apply_norm(make_norm(self.norm_fn, ng, self.dtype), x, train)
@@ -164,8 +164,7 @@ class BasicEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv(self.stem_dim, (7, 7), 2, dtype=self.dtype)(x)
-        x = _apply_norm(make_norm(self.norm_fn, 8, self.dtype), x, train)
-        x = nn.relu(x)
+        x = _norm_relu(self.norm_fn, 8, self.dtype, x, train)
         for i, (dim, stride) in enumerate(zip(self.dims, (1, 2, 2))):
             x = ResidualBlock(dim, self.norm_fn, stride, dtype=self.dtype)(
                 x, train)
@@ -187,8 +186,7 @@ class SmallEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv(self.dims[0], (7, 7), 2, dtype=self.dtype)(x)
-        x = _apply_norm(make_norm(self.norm_fn, 8, self.dtype), x, train)
-        x = nn.relu(x)
+        x = _norm_relu(self.norm_fn, 8, self.dtype, x, train)
         for dim, stride in zip(self.dims, (1, 2, 2)):
             x = BottleneckBlock(dim, self.norm_fn, stride, dtype=self.dtype)(
                 x, train)

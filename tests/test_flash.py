@@ -58,3 +58,29 @@ def test_flash_extreme_logits_stable():
         k.astype(jnp.bfloat16).astype(jnp.float32), v))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("h,w,k", [(8, 8, 2), (12, 8, 4), (16, 24, 4)])
+def test_flash_swin_inkernel_mask_matches_dense_bias(h, w, k):
+    """The analytic in-kernel Swin mask == shift_window_attn_mask bias."""
+    from opticalflowfromdepth_tpu.models.gmflow import (
+        shift_window_attn_mask, split_feature)
+    rng = np.random.default_rng(3)
+    wh, ww = h // k, w // k
+    sh, sw = wh // 2, ww // 2
+    b = 2
+    c = 32
+    x = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    y = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    z = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    # shifted-window batch layout [b, wy, wx] as in _split_window_attention
+    qs = split_feature(jnp.asarray(x), k).reshape(-1, wh * ww, c)
+    ks = split_feature(jnp.asarray(y), k).reshape(-1, wh * ww, c)
+    vs = split_feature(jnp.asarray(z), k).reshape(-1, wh * ww, c)
+    mask = shift_window_attn_mask(h, w, wh, ww, sh, sw)
+    bias = jnp.tile(mask, (b, 1, 1))
+    want = np.asarray(flash_softmax_matmul_ref(qs, ks, vs, bias=bias))
+    got = np.asarray(flash_softmax_matmul(
+        qs, ks, vs, block_q=16, block_k=16, interpret=True,
+        swin=(k, wh, ww, sh, sw)))
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
