@@ -133,24 +133,14 @@ def _pick_block(length: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret", "swin"))
-def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                         scale: Optional[float] = None,
-                         bias: Optional[jnp.ndarray] = None,
-                         block_q: Optional[int] = None,
-                         block_k: Optional[int] = None,
-                         interpret: bool = False,
-                         swin: Optional[Tuple[int, int, int, int, int]]
-                         = None) -> jnp.ndarray:
-    """softmax(q @ k^T * scale + bias) @ v without materializing [Lq, Lk].
-
-    q: [B, Lq, C]; k: [B, Lk, C]; v: [B, Lk, D]; optional additive bias
-    [B, Lq, Lk] (e.g. arbitrary attention masks — broadcast to B before the
-    call). For Swin shifted windows pass ``swin=(num_splits, wh, ww, sh,
-    sw)`` instead: the -100 additive mask of `shift_window_attn_mask` is
-    then generated inside the kernel from token indices (batch must be
-    ordered [b, wy, wx] as produced by ``split_feature``), costing no HBM
-    traffic. Returns [B, Lq, D] f32.
-    """
+def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   scale: Optional[float] = None,
+                   bias: Optional[jnp.ndarray] = None,
+                   block_q: Optional[int] = None,
+                   block_k: Optional[int] = None,
+                   interpret: bool = False,
+                   swin: Optional[Tuple[int, int, int, int, int]]
+                   = None) -> jnp.ndarray:
     b, lq, c = q.shape
     _, lk, d = v.shape
     if scale is None:
@@ -219,6 +209,98 @@ def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ),
     )(*operands)
     return out[:, :lq, :d]
+
+
+def _swin_mask_dense(l: int, swin: Tuple[int, int, int, int, int],
+                     batch: int) -> jnp.ndarray:
+    """Dense [B, L, L] equivalent of the kernel's analytic Swin mask
+    (backward pass / oracle). Batch must be ordered [b, wy, wx]."""
+    num_splits, wh, ww, sh, sw = swin
+    kk = num_splits * num_splits
+    t = jnp.arange(l)
+    r, c = t // ww, t % ww
+    wy = jnp.arange(kk) // num_splits
+    wx = jnp.arange(kk) % num_splits
+    yreg = (wy[:, None] == num_splits - 1) & (r[None, :] >= wh - sh)
+    xreg = (wx[:, None] == num_splits - 1) & (c[None, :] >= ww - sw)
+    same = ((yreg[:, :, None] == yreg[:, None, :])
+            & (xreg[:, :, None] == xreg[:, None, :]))
+    mask = jnp.where(same, 0.0, -100.0).astype(jnp.float32)
+    return jnp.tile(mask, (batch // kk, 1, 1))
+
+
+def _flash_vjp_fwd(q, k, v, bias, scale, block_q, block_k, interpret, swin):
+    out = _flash_forward(q, k, v, scale=scale, bias=bias, block_q=block_q,
+                         block_k=block_k, interpret=interpret, swin=swin)
+    return out, (q, k, v, bias)
+
+
+def _flash_vjp_bwd(scale, block_q, block_k, interpret, swin, res, g):
+    """Dense-rematerialized backward: recompute p = softmax(s) once (one
+    [B, Lq, Lk] f32 live at a time — fine at training crop sizes; the
+    flash forward still carries eval-scale shapes). Bias gradients are
+    zero by construction (masks are constants here)."""
+    q, k, v, bias = res
+    qf = q.astype(jnp.bfloat16)
+    kf = k.astype(jnp.bfloat16)
+    s = jnp.einsum("blc,bmc->blm", qf, kf,
+                   preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if swin is not None:
+        s = s + _swin_mask_dense(k.shape[1], swin, q.shape[0])
+    p = jax.nn.softmax(s, axis=-1)                       # [B, Lq, Lk]
+    g = g.astype(jnp.float32)
+    dv = jnp.einsum("blm,bld->bmd", p, g,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    dp = jnp.einsum("bld,bmd->blm", g, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (jnp.einsum("blm,bmc->blc", ds.astype(jnp.bfloat16), kf,
+                     preferred_element_type=jnp.float32)
+          * scale).astype(q.dtype)
+    dk = (jnp.einsum("blm,blc->bmc", ds.astype(jnp.bfloat16), qf,
+                     preferred_element_type=jnp.float32)
+          * scale).astype(k.dtype)
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_vjp(q, k, v, bias, scale, block_q, block_k, interpret, swin):
+    return _flash_forward(q, k, v, scale=scale, bias=bias, block_q=block_q,
+                          block_k=block_k, interpret=interpret, swin=swin)
+
+
+_flash_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_softmax_matmul(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         scale: Optional[float] = None,
+                         bias: Optional[jnp.ndarray] = None,
+                         block_q: Optional[int] = None,
+                         block_k: Optional[int] = None,
+                         interpret: bool = False,
+                         swin: Optional[Tuple[int, int, int, int, int]]
+                         = None) -> jnp.ndarray:
+    """softmax(q @ k^T * scale + bias) @ v without materializing [Lq, Lk].
+
+    q: [B, Lq, C]; k: [B, Lk, C]; v: [B, Lk, D]; optional additive bias
+    [B, Lq, Lk] (e.g. arbitrary attention masks — broadcast to B before the
+    call; treated as a constant under differentiation). For Swin shifted
+    windows pass ``swin=(num_splits, wh, ww, sh, sw)`` instead: the -100
+    additive mask of `shift_window_attn_mask` is then generated inside the
+    kernel from token indices (batch must be ordered [b, wy, wx] as
+    produced by ``split_feature``), costing no HBM traffic.
+
+    Differentiable: the forward is the streaming Pallas kernel; the
+    backward recomputes the softmax densely (`_flash_vjp_bwd`).
+    Returns [B, Lq, D] f32.
+    """
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    return _flash_vjp(q, k, v, bias, float(scale), block_q, block_k,
+                      interpret, swin)
 
 
 def flash_softmax_matmul_ref(q, k, v, scale=None, bias=None):

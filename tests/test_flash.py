@@ -84,3 +84,47 @@ def test_flash_swin_inkernel_mask_matches_dense_bias(h, w, k):
         qs, ks, vs, block_q=16, block_k=16, interpret=True,
         swin=(k, wh, ww, sh, sw)))
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("use_swin", [False, True])
+def test_flash_gradients_match_dense(use_swin):
+    """flash_softmax_matmul must be trainable: custom VJP vs autodiff of
+    the dense oracle (GMFlow training differentiates through attention,
+    matching and flow propagation on TPU)."""
+    from opticalflowfromdepth_tpu.models.gmflow import (
+        shift_window_attn_mask)
+    rng = np.random.default_rng(7)
+    if use_swin:
+        h = w = 8
+        k_sp = 2
+        wh = ww = 4
+        swin = (k_sp, wh, ww, 2, 2)
+        b, l = 2 * k_sp * k_sp, wh * ww
+        mask = shift_window_attn_mask(h, w, wh, ww, 2, 2)
+        bias_ref = jnp.tile(mask, (2, 1, 1))
+    else:
+        swin, bias_ref = None, None
+        b, l = 2, 48
+    c, d = 32, 16
+    q = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        out = flash_softmax_matmul(q, k, v, block_q=16, block_k=16,
+                                   interpret=True, swin=swin)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(flash_softmax_matmul_ref(
+            q, k, v, bias=bias_ref)))
+
+    gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    # bf16 operands in both fwd kernel and bwd recompute
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                               atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               atol=5e-2, rtol=5e-2)
