@@ -1,29 +1,36 @@
-"""Headline benchmark: GMFlow inference latency at Sintel resolution.
+"""Headline benchmarks — one JSON line per metric, printed as measured.
 
-Mirrors the reference's `count_time` harness (`adjusted_gmflow/evaluate.py:
-300-352,414-416`): warmup + timed runs of the forward pass at Sintel
-436x1024 (padded to 448x1024, the eval shape), batch 1. Reference
-baselines (`adjusted_gmflow/README.md:52`): 57 ms on V100, 26 ms on A100.
-vs_baseline reports the A100 speedup factor (26 / ours).
+Metrics (priority order; later ones are skipped if the time budget runs
+out, so the headline always lands even on a cold compile cache):
 
-Methodology: the reference times `model(...)` bracketed by
-`torch.cuda.synchronize()` — pure device execution, with local-PCIe
-dispatch cost (~us) amortized to zero. On a tunneled TPU each dispatch is
-an RPC and `block_until_ready` returns before execution completes
-(measured ~0.1 ms "latency" for a 14 ms program), so per-call wall timing
-is meaningless. Instead we exploit in-order device execution: enqueue N
-async forwards back-to-back, then fetch one scalar from the LAST output —
-a real fence, since the value can only exist after every earlier program
-drained the queue. Differencing two enqueue counts, (t[N1] - t[N0]) /
-(N1 - N0), cancels N-independent overhead (fence fetch, warm caches);
-per-call host dispatch remains inside the slope, so the result is device
-latency only while dispatch stays far below the program time — which the
-harness verifies by timing the bare enqueue loop (no fence) and warning
-when dispatch exceeds 10% of the measured slope. (A
-`lax.fori_loop`-of-forwards variant measures the same number but makes
-XLA compile 15x slower; avoided deliberately.)
+  1. gmflow_infer_latency_448x1024_bs1 [ms] — mirrors the reference's
+     `count_time` harness (`adjusted_gmflow/evaluate.py:300-352,414-416`).
+     Baseline 26 ms on A100 (`adjusted_gmflow/README.md:52`);
+     vs_baseline = 26 / ours.
+  2. gmflow_train_fps_368x560_bs4 [frames/s/chip] — the mixed-recipe
+     training step (`README.md:119-130`, batch 16 over 4x V100 = 4/chip).
+     No wall-clock is recorded in the reference tree, so vs_baseline uses
+     an estimated 13 frames/s per V100 (57 ms bs1 fwd at 448x1024 scaled to
+     368x560 and a ~3x fwd+bwd+opt factor) — estimate, not a measurement.
+  3. synth_throughput_384x512 [img/s] — full per-image synthesis incl. all
+     61 npz writes (`preprocess.py:329-480`). The reference records no
+     frames/s; vs_baseline uses an estimated 0.2 img/s for fw_cuda+cv2+f32
+     npz (61 compressed float32 npz ~380 MB/image dominates) — estimate.
+  4. raft_train_fps_368x496_bs4 [frames/s/chip] — RAFT mixed recipe step
+     (`README.md:109-115`). No reference wall-clock exists;
+     vs_baseline = 0.0 (unrecorded).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing methodology (device metrics): the reference times `model(...)`
+between `torch.cuda.synchronize()` calls. On a tunneled TPU each dispatch
+is an RPC, so per-call wall timing is meaningless; instead we exploit
+in-order device execution — enqueue N programs back-to-back, fetch one
+scalar from the LAST output (a real fence), and difference two chain
+lengths: (t[N1] - t[N0]) / (N1 - N0) cancels every N-independent overhead.
+A bare enqueue-loop timing verifies dispatch stays <10% of the slope.
+
+Budget: BENCH_BUDGET_S (default 540 s). Each metric is wrapped so a
+failure or timeout of a later metric never loses an earlier line; exit
+code is 0 as long as the headline printed.
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -44,16 +52,71 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_A100_MS = 26.0
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+T_START = time.time()
+
+BASELINE_INFER_A100_MS = 26.0
+BASELINE_TRAIN_V100_FPS_EST = 13.0   # estimate, see module docstring
+BASELINE_SYNTH_IMGS_EST = 0.2        # estimate, see module docstring
 
 
-def main() -> None:
+def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    print(json.dumps({"metric": metric, "value": round(value, 3),
+                      "unit": unit,
+                      "vs_baseline": round(vs_baseline, 3)}), flush=True)
+
+
+def budget_left() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def chain_slope_ms(fn, n0: int, n1: int, reps: int) -> float:
+    """Difference-of-chains device latency: fn() enqueues one program and
+    returns a scalar future; float() on it fences the in-order queue."""
+    def run_chain(n: int) -> float:
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            r = fn()
+        float(r)
+        return time.perf_counter() - t0
+
+    run_chain(1)       # compile + warm
+    run_chain(n0)
+    best = None
+    t_long = None
+    for _ in range(reps):
+        t_short = run_chain(n0)
+        t_long = run_chain(n1)
+        ms = (t_long - t_short) / (n1 - n0) * 1000.0
+        if ms > 0:
+            best = ms if best is None else min(best, ms)
+    if best is None:   # clock noise (CPU smoke shapes): honest upper bound
+        best = t_long / n1 * 1000.0
+
+    # dispatch sanity check (`bench.py` round-2 review): bare enqueue loop
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        fn()
+    dispatch_ms = (time.perf_counter() - t0) / n1 * 1000.0
+    jax.block_until_ready(fn())
+    if dispatch_ms > 0.1 * best:
+        print(f"WARNING: per-call dispatch {dispatch_ms:.3f} ms > 10% of "
+              f"measured {best:.3f} ms; value is dispatch-contaminated",
+              file=sys.stderr)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# metric 1: GMFlow inference latency
+# ---------------------------------------------------------------------------
+
+def bench_infer(on_tpu: bool) -> None:
     from opticalflowfromdepth_tpu.models.gmflow import GMFlow
 
-    on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        h, w, n0, n1, reps = 448, 1024, 3, 23, 3
-    else:  # CPU smoke mode: tiny shape, still one honest JSON line
+        h, w, n0, n1, reps = 448, 1024, 2, 12, 2
+    else:
         h, w, n0, n1, reps = 64, 128, 1, 3, 1
 
     model = GMFlow(num_scales=1,
@@ -70,54 +133,132 @@ def main() -> None:
                           prop_radius_list=(-1,), training=False)
         return jnp.sum(out["flow_preds"][-1])
 
-    def run_chain(n: int) -> float:
-        """Enqueue n forwards, fence on the last one's scalar output."""
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(n):
-            r = fwd(variables, img0, img1)
-        float(r)  # host fetch = real fence for the whole in-order queue
-        return time.perf_counter() - t0
+    ms = chain_slope_ms(lambda: fwd(variables, img0, img1), n0, n1, reps)
+    emit(f"gmflow_infer_latency_{h}x{w}_bs1", ms, "ms",
+         BASELINE_INFER_A100_MS / ms if on_tpu else 0.0)
 
-    # warmup / compile (float fetch = real fence)
-    run_chain(1)
-    run_chain(n0)
 
-    best_ms = None
-    t_long_last = None
-    for _ in range(reps):
-        t_short = run_chain(n0)
-        t_long = run_chain(n1)
-        t_long_last = t_long
-        ms = (t_long - t_short) / (n1 - n0) * 1000.0
-        if ms > 0:
-            best_ms = ms if best_ms is None else min(best_ms, ms)
+# ---------------------------------------------------------------------------
+# metrics 2/4: train-step throughput
+# ---------------------------------------------------------------------------
 
-    if best_ms is None:
-        # Differencing drowned in clock noise (tiny CPU smoke shapes):
-        # fall back to the honest upper bound t_long / n1.
-        best_ms = t_long_last / n1 * 1000.0
+def _fake_batch(rng, b: int, h: int, w: int):
+    return {
+        "image1": jnp.asarray(
+            rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)),
+        "image2": jnp.asarray(
+            rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)),
+        "flow": jnp.asarray(rng.normal(0, 10, (b, h, w, 2)).astype(np.float32)),
+        "valid": jnp.ones((b, h, w), jnp.float32),
+        "label": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (b, 1)),
+    }
 
-    # Dispatch sanity check: time the bare enqueue loop (no fence). Per-call
-    # dispatch is part of the slope; if it is a significant fraction of the
-    # measured latency the number is dispatch-bound, not device-bound.
-    t0 = time.perf_counter()
-    for _ in range(n1):
-        fwd(variables, img0, img1)
-    dispatch_ms = (time.perf_counter() - t0) / n1 * 1000.0
-    jax.block_until_ready(fwd(variables, img0, img1))
-    if on_tpu and dispatch_ms > 0.1 * best_ms:
-        print(f"WARNING: per-call dispatch {dispatch_ms:.3f} ms exceeds 10% "
-              f"of measured latency {best_ms:.3f} ms; the reported value is "
-              "dispatch-contaminated", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": f"gmflow_infer_latency_{h}x{w}_bs1",
-        "value": round(best_ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_A100_MS / best_ms, 3) if on_tpu
-        else 0.0,
-    }))
+def _train_fps(make_state, make_step, batch, b: int, on_tpu: bool) -> float:
+    state = make_state()
+    step = jax.jit(make_step(), donate_argnums=0)
+    key = jax.random.PRNGKey(0)
+
+    holder = {"state": state}
+
+    def one():
+        new_state, metrics = step(holder["state"], batch, key)
+        holder["state"] = new_state
+        return metrics["total_loss"]
+
+    n0, n1, reps = (2, 8, 2) if on_tpu else (1, 2, 1)
+    ms = chain_slope_ms(one, n0, n1, reps)
+    return b / (ms / 1000.0)
+
+
+def bench_gmflow_train(on_tpu: bool) -> None:
+    from opticalflowfromdepth_tpu.train import gmflow_train as gt
+
+    b, (h, w) = (4, (368, 560)) if on_tpu else (1, (64, 96))
+    cfg = gt.GMFlowTrainConfig(batch_size=b, image_size=(h, w),
+                               mixed_precision=on_tpu)
+    rng = np.random.default_rng(1)
+    fps = _train_fps(
+        lambda: gt.init_state(cfg, jax.random.PRNGKey(1)),
+        lambda: gt.make_train_step(cfg),
+        _fake_batch(rng, b, h, w), b, on_tpu)
+    emit(f"gmflow_train_fps_{h}x{w}_bs{b}", fps, "frames/s/chip",
+         fps / BASELINE_TRAIN_V100_FPS_EST if on_tpu else 0.0)
+
+
+def bench_raft_train(on_tpu: bool) -> None:
+    from opticalflowfromdepth_tpu.train import raft_train as rt
+
+    b, (h, w) = (4, (368, 496)) if on_tpu else (1, (64, 96))
+    cfg = rt.RAFTTrainConfig(batch_size=b, image_size=(h, w),
+                             mixed_precision=on_tpu, iters=12)
+    rng = np.random.default_rng(2)
+    fps = _train_fps(
+        lambda: rt.init_state(cfg, jax.random.PRNGKey(2)),
+        lambda: rt.make_train_step(cfg),
+        _fake_batch(rng, b, h, w), b, on_tpu)
+    emit(f"raft_train_fps_{h}x{w}_bs{b}", fps, "frames/s/chip", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# metric 3: synthesis throughput (device synth + host npz writes)
+# ---------------------------------------------------------------------------
+
+def bench_synth(on_tpu: bool) -> None:
+    from opticalflowfromdepth_tpu.synth.pipeline import synthesize_sample
+    from opticalflowfromdepth_tpu.synth.writer import write_sample
+
+    h, w = (384, 512) if on_tpu else (96, 128)
+    rng = np.random.default_rng(3)
+
+    def sample(i: int):
+        img = rng.uniform(0, 255, (3, h, w)).astype(np.float32)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        depth = (120 + 80 * np.sin(xx / 37 + i) * np.cos(yy / 53) +
+                 rng.uniform(0, 30, (h, w))).astype(np.float32)[None]
+        return jnp.asarray(img), jnp.asarray(depth)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        img, dep = sample(0)    # compile warmup (all 1+6 programs)
+        out = synthesize_sample(jax.random.PRNGKey(0), img, dep)
+        out = jax.tree.map(np.asarray, out)
+        write_sample(tmp, "warm", out)
+
+        n = 3 if on_tpu else 1
+        t0 = time.time()
+        for i in range(n):
+            img, dep = sample(i + 1)
+            out = synthesize_sample(jax.random.fold_in(
+                jax.random.PRNGKey(0), i), img, dep)
+            out = jax.tree.map(np.asarray, out)
+            write_sample(tmp, f"s{i}", out)
+        dt = time.time() - t0
+    imgs = n / dt
+    emit(f"synth_throughput_{h}x{w}", imgs, "img/s",
+         imgs / BASELINE_SYNTH_IMGS_EST if on_tpu else 0.0)
+
+
+def main() -> None:
+    on_tpu = jax.devices()[0].platform == "tpu"
+    plan = [
+        ("infer", bench_infer, 0.0),          # headline: always run
+        ("gmflow_train", bench_gmflow_train, 60.0),
+        ("synth", bench_synth, 45.0),
+        ("raft_train", bench_raft_train, 60.0),
+    ]
+    printed = 0
+    for name, fn, min_left in plan:
+        if printed and budget_left() < min_left:
+            print(f"SKIP {name}: {budget_left():.0f}s budget left",
+                  file=sys.stderr)
+            continue
+        try:
+            fn(on_tpu)
+            printed += 1
+        except Exception as e:  # later metrics must not kill earlier lines
+            if printed == 0:
+                raise
+            print(f"ERROR in {name}: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from ..core.geometry import pixel_grid
 from ..ops.flash import flash_softmax_matmul
-from ..ops.sampling import flow_warp
+from ..ops.sampling import flow_warp, resize_bilinear_align_corners
 from .layers import Conv, InstanceNorm, kaiming_init
 from .raft import convex_upsample
 
@@ -269,7 +269,8 @@ class TransformerLayer(nn.Module):
             message = _full_attention(q, k, v)
 
         message = dense("merge")(message)
-        message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
+        message = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                               name="norm1")(message)
 
         if not self.no_ffn:
             y = jnp.concatenate([source, message], axis=-1)
@@ -281,7 +282,8 @@ class TransformerLayer(nn.Module):
             y = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
                          param_dtype=jnp.float32,
                          kernel_init=nn.initializers.xavier_uniform())(y)
-            message = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+            message = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                   name="norm2")(y)
         return source + message
 
 
@@ -356,12 +358,14 @@ class FeatureFlowAttention(nn.Module):
         k_proj = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                           kernel_init=nn.initializers.xavier_uniform(),
                           name="k_proj")
-        # NOTE: key is a projection of the query, faithfully mirroring the
-        # reference's (documented) quirk at `transformer.py:357-364`.
         query = q_proj(feature0.reshape(b, h * w, c))
-        key = k_proj(query)
 
         if not local_window_attn:
+            # NOTE: key is a projection of the QUERY here, faithfully
+            # mirroring the reference's (documented) quirk at
+            # `transformer.py:357-364` — the local-window branch below
+            # projects feature0 directly (`transformer.py:389`).
+            key = k_proj(query)
             value = flow.reshape(b, h * w, 2)
             if _use_flash():
                 out = flash_softmax_matmul(query.astype(jnp.bfloat16),
@@ -374,8 +378,10 @@ class FeatureFlowAttention(nn.Module):
                              preferred_element_type=jnp.float32)
             return out.reshape(b, h, w, 2)
 
-        # local window attention (`transformer.py:376-409`)
+        # local window attention (`transformer.py:376-409`); key here is
+        # k_proj(feature0), not k_proj(query)
         ks = 2 * local_window_radius + 1
+        key = k_proj(feature0.reshape(b, h * w, c))
         key_map = key.reshape(b, h, w, c)
         key_win = jax.lax.conv_general_dilated_patches(
             key_map.transpose(0, 3, 1, 2), (ks, ks), (1, 1), "SAME")
@@ -406,13 +412,17 @@ def global_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray,
     feature0/1: [B, H, W, C]. Returns (flow [B, H, W, 2], prob).
     """
     b, h, w, c = feature0.shape
-    # bf16 operands, f32 accumulation: the [L, L] product is MXU-bound
-    f0 = feature0.reshape(b, h * w, c).astype(jnp.bfloat16)
-    f1 = feature1.reshape(b, h * w, c).astype(jnp.bfloat16)
+    f0 = feature0.reshape(b, h * w, c)
+    f1 = feature1.reshape(b, h * w, c)
     grid = jnp.moveaxis(pixel_grid(h, w), 0, -1).reshape(h * w, 2)
 
     if _use_flash():
-        # streaming softmax @ grid: the [L, L] volume never materializes
+        # streaming softmax @ grid: the [L, L] volume never materializes.
+        # bf16 operands (f32 accumulation) only on this TPU kernel path —
+        # the dense path below stays in the input dtype so CPU parity runs
+        # are exact (reference computes matching in f32, `matching.py:15`).
+        f0 = f0.astype(jnp.bfloat16)
+        f1 = f1.astype(jnp.bfloat16)
         gv = jnp.broadcast_to(grid[None], (b, h * w, 2))
         corr_fwd = flash_softmax_matmul(f0, f1, gv)
         if pred_bidir_flow:
@@ -547,9 +557,11 @@ class GMFlow(nn.Module):
                 2 ** (self.num_scales - 1 - scale_idx))
 
             if scale_idx > 0:
+                # F.interpolate(scale_factor=2, align_corners=True) * 2
+                # (`gmflow.py:122`)
                 b_, h_, w_, _ = flow.shape
-                flow = jax.image.resize(flow, (b_, 2 * h_, 2 * w_, 2),
-                                        "linear") * 2.0
+                flow = resize_bilinear_align_corners(flow, 2 * h_,
+                                                     2 * w_) * 2.0
 
             if flow is not None:
                 flow = jax.lax.stop_gradient(flow)
@@ -581,9 +593,9 @@ class GMFlow(nn.Module):
 
             if training:
                 b_, h_, w_, _ = flow.shape
-                bil = jax.image.resize(
-                    flow, (b_, upsample_factor * h_, upsample_factor * w_, 2),
-                    "linear") * upsample_factor
+                bil = resize_bilinear_align_corners(
+                    flow, upsample_factor * h_,
+                    upsample_factor * w_) * upsample_factor
                 flow_preds.append(bil)
 
             if pred_bidir_flow and scale_idx == 0:
@@ -595,9 +607,9 @@ class GMFlow(nn.Module):
 
             if training and scale_idx < self.num_scales - 1:
                 b_, h_, w_, _ = flow.shape
-                bil = jax.image.resize(
-                    flow, (b_, upsample_factor * h_, upsample_factor * w_, 2),
-                    "linear") * upsample_factor
+                bil = resize_bilinear_align_corners(
+                    flow, upsample_factor * h_,
+                    upsample_factor * w_) * upsample_factor
                 flow_preds.append(bil)
 
             if scale_idx == self.num_scales - 1:

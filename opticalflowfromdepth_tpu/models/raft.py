@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from ..core.geometry import pixel_grid
 from ..ops.correlation import CorrPyramid, on_demand_corr
+from ..ops.sampling import resize_bilinear_align_corners
 from .layers import BasicEncoder, Conv, SmallEncoder
 
 Dtype = Any
@@ -36,14 +37,13 @@ def coords_grid(b: int, h: int, w: int) -> jnp.ndarray:
 
 
 def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
-    """8x bilinear upsample of [B, H, W, 2] flow, scaled by 8.
+    """8x align-corners bilinear upsample of [B, H, W, 2] flow, scaled by 8.
 
-    `core/utils/utils.py:80-83` (align-corners bilinear approximated by
-    jax.image linear resize — used only by the small model path).
+    Exactly `core/utils/utils.py:80-83` (F.interpolate align_corners=True);
+    used only by the small model path.
     """
     b, h, w, _ = flow.shape
-    up = jax.image.resize(flow, (b, 8 * h, 8 * w, 2), "linear")
-    return 8.0 * up
+    return 8.0 * resize_bilinear_align_corners(flow, 8 * h, 8 * w)
 
 
 def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8
@@ -58,11 +58,9 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8
     mask = jax.nn.softmax(mask, axis=3)
 
     # 3x3 neighborhoods of f*flow: [B, H, W, 9, 2], tap order (ky, kx)
-    # row-major to match the reference's F.unfold (`raft.py:76`).
-    # edge-replicate (vs the reference's zero pad) so border outputs remain
-    # convex combinations of real flow values; with a learned mask the two
-    # are equivalent in expressiveness.
-    fp = jnp.pad(f * flow, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    # row-major with zero padding — exactly the reference's F.unfold
+    # (`raft.py:76-78`), so ported checkpoints reproduce border behavior.
+    fp = jnp.pad(f * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
     patches = jnp.stack(
         [fp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],
         axis=3)

@@ -39,16 +39,20 @@ def _avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _window_delta(radius: int) -> jnp.ndarray:
-    """[(2r+1)^2, 2] window offsets in (x, y) order, y-major ordering.
+    """[(2r+1)^2, 2] window offsets in (x, y) order, **x-major** flattening.
 
-    Matches `corr.py:37-43`: meshgrid(dy, dx) stacked (dy, dx) last —
-    we emit (x, y) to match our sampler but keep the same y-major flattening
-    so channel order matches the reference layout.
+    Matches `corr.py:37-43` exactly, including its coordinate quirk: the
+    reference builds ``delta = stack(meshgrid(dy, dx), -1)`` — last dim
+    (dy, dx) — and adds it to (x, y) centroids, so the value called "dy"
+    offsets x and varies along the *major* window axis. The sampled offset
+    set is the same symmetric square either way, but the channel order of
+    the (2r+1)^2 lookups is x-major; ported reference checkpoints (whose
+    convc1 1x1 weights are trained against that order) depend on it.
     """
     r = radius
     d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(d, d, indexing="ij")
-    return jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)
+    xo, yo = jnp.meshgrid(d, d, indexing="ij")  # xo varies along axis 0
+    return jnp.stack([xo.reshape(-1), yo.reshape(-1)], axis=-1)
 
 
 def _bilinear_lookup_flat(corr: jnp.ndarray, coords: jnp.ndarray,

@@ -72,6 +72,49 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     return bilinear_gather(img, x, y)
 
 
+def _resize_weights_1d(n_in: int, n_out: int) -> jnp.ndarray:
+    """[n_out, n_in] bilinear interpolation matrix, align_corners=True.
+
+    Row i holds the two-tap weights for source coordinate
+    i*(n_in-1)/(n_out-1) — exactly torch's
+    F.interpolate(mode='bilinear', align_corners=True) sampling grid.
+    """
+    if n_in == 1 or n_out == 1:
+        w = jnp.zeros((n_out, n_in), jnp.float32)
+        return w.at[:, 0].set(1.0)
+    src = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+    lo = jnp.clip(jnp.floor(src), 0, n_in - 2).astype(jnp.int32)
+    frac = src - lo.astype(jnp.float32)
+    w = jnp.zeros((n_out, n_in), jnp.float32)
+    rows = jnp.arange(n_out)
+    w = w.at[rows, lo].set(1.0 - frac)
+    w = w.at[rows, lo + 1].add(frac)
+    return w
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, new_h: int, new_w: int
+                                  ) -> jnp.ndarray:
+    """Bilinear resize of [B, H, W, C] with align_corners=True semantics.
+
+    Matches torch F.interpolate(..., mode='bilinear', align_corners=True)
+    (the reference's intermediate flow upsampling, `gmflow/gmflow.py:70-71,
+    122` and RAFT `core/utils/utils.py:80-83`), which jax.image.resize
+    ('linear' = half-pixel centers) does not. Implemented as two separable
+    interpolation matmuls — exact, static-shaped, and MXU-friendly.
+    """
+    b, h, w, c = x.shape
+    out = x.astype(jnp.float32)
+    if new_h != h:
+        wh = _resize_weights_1d(h, new_h)
+        out = jnp.einsum("oh,bhwc->bowc", wh, out,
+                         precision=jax.lax.Precision.HIGHEST)
+    if new_w != w:
+        ww = _resize_weights_1d(w, new_w)
+        out = jnp.einsum("ow,bhwc->bhoc", ww, out,
+                         precision=jax.lax.Precision.HIGHEST)
+    return out.astype(x.dtype)
+
+
 def flow_warp(feature: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp ``feature`` [B, C, H, W] by ``flow`` [B, 2, H, W].
 

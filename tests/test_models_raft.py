@@ -39,14 +39,20 @@ def test_on_demand_corr_matches_pyramid():
 
 
 def test_convex_upsample_constant_flow():
-    """Convex combination of a constant flow is that constant, x8."""
+    """Convex combination of a constant flow is that constant x8 in the
+    interior; borders mix in zero-pad taps exactly like the reference's
+    F.unfold(padding=1) (`adjusted_RAFT/core/raft.py:78`): with a uniform
+    mask (softmax of zeros = 1/9 per tap) a corner block sees 4 of 9
+    in-bounds taps."""
     b, h, w = 1, 4, 5
     flow = jnp.ones((b, h, w, 2)) * jnp.asarray([2.0, -1.0])
     mask = jnp.zeros((b, h, w, 9 * 64))
     up = np.asarray(convex_upsample(flow, mask))
     assert up.shape == (b, 8 * h, 8 * w, 2)
-    np.testing.assert_allclose(up[..., 0], 16.0, atol=1e-5)
-    np.testing.assert_allclose(up[..., 1], -8.0, atol=1e-5)
+    np.testing.assert_allclose(up[:, 8:-8, 8:-8, 0], 16.0, atol=1e-5)
+    np.testing.assert_allclose(up[:, 8:-8, 8:-8, 1], -8.0, atol=1e-5)
+    np.testing.assert_allclose(up[:, :8, :8, 0], 16.0 * 4 / 9, atol=1e-5)
+    np.testing.assert_allclose(up[:, :8, 8:-8, 1], -8.0 * 6 / 9, atol=1e-5)
 
 
 @pytest.mark.parametrize("small", [True, False])
