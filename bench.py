@@ -205,8 +205,17 @@ def bench_raft_train(on_tpu: bool) -> None:
 # ---------------------------------------------------------------------------
 
 def bench_synth(on_tpu: bool) -> None:
-    from opticalflowfromdepth_tpu.synth.pipeline import synthesize_sample
-    from opticalflowfromdepth_tpu.synth.writer import write_sample
+    """Synthesis throughput, two lines:
+      synth_device_throughput — rate at which the chip produces the packed
+        per-image tensors (chain-fenced device time, the TPU-native number);
+      synth_throughput — end to end incl. host transfer + 61 npz writes,
+        pipelined exactly like synth/cli.py. NOTE: on this axon-tunneled
+        chip the device->host link runs ~20-25 MB/s with multi-minute
+        stalls under contention (~280 MB/image packed payload), so the e2e
+        number here is tunnel-bound; a PCIe/DMA-attached deployment moves
+        the bottleneck to npz compression."""
+    from opticalflowfromdepth_tpu.synth.pipeline import synthesize_sample_packed
+    from opticalflowfromdepth_tpu.synth.writer import AsyncShardWriter
 
     h, w = (384, 512) if on_tpu else (96, 128)
     rng = np.random.default_rng(3)
@@ -219,19 +228,36 @@ def bench_synth(on_tpu: bool) -> None:
         return jnp.asarray(img), jnp.asarray(depth)
 
     with tempfile.TemporaryDirectory() as tmp:
-        img, dep = sample(0)    # compile warmup (all 1+6 programs)
-        out = synthesize_sample(jax.random.PRNGKey(0), img, dep)
-        out = jax.tree.map(np.asarray, out)
-        write_sample(tmp, "warm", out)
+        img, dep = sample(0)    # compile warmup (all staged programs)
+        out = synthesize_sample_packed(jax.random.PRNGKey(0), img, dep)
+        jax.block_until_ready(out)
+
+        # device-only rate: enqueue n_dev synth programs, fence on a scalar
+        n_dev = 8 if on_tpu else 1
+        inputs = [sample(100 + i) for i in range(n_dev)]
+        t0 = time.time()
+        last = None
+        for i, (im, dp) in enumerate(inputs):
+            last = synthesize_sample_packed(
+                jax.random.fold_in(jax.random.PRNGKey(1), i), im, dp)
+        float(jnp.sum(last["pairs_flt_f16"][0, 2]))  # fence
+        dev_rate = n_dev / (time.time() - t0)
+        emit(f"synth_device_throughput_{h}x{w}", dev_rate, "img/s",
+             dev_rate / BASELINE_SYNTH_IMGS_EST if on_tpu else 0.0)
 
         n = 3 if on_tpu else 1
+        writer = AsyncShardWriter(tmp, workers=4)
         t0 = time.time()
+        pending = None
         for i in range(n):
             img, dep = sample(i + 1)
-            out = synthesize_sample(jax.random.fold_in(
+            out = synthesize_sample_packed(jax.random.fold_in(
                 jax.random.PRNGKey(0), i), img, dep)
-            out = jax.tree.map(np.asarray, out)
-            write_sample(tmp, f"s{i}", out)
+            if pending is not None:
+                writer.submit(f"s{i - 1}", jax.tree.map(np.asarray, pending))
+            pending = out
+        writer.submit(f"s{n - 1}", jax.tree.map(np.asarray, pending))
+        writer.drain()
         dt = time.time() - t0
     imgs = n / dt
     emit(f"synth_throughput_{h}x{w}", imgs, "img/s",

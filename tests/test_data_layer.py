@@ -162,3 +162,32 @@ def test_loader_process_sharding(shard_dir):
 def test_one_hot_label_mapping():
     np.testing.assert_array_equal(one_hot(0), [1, 0, 0, 0])
     np.testing.assert_array_equal(one_hot(3), [0, 0, 0, 1])
+
+
+def test_packed_writer_matches_reference_writer(shard_dir, tmp_path):
+    """write_sample_packed (on-device dtype cast + photometric dedup) must
+    produce byte-equivalent npz content to the original write_sample."""
+    from opticalflowfromdepth_tpu.synth.pipeline import synthesize_sample_packed
+    from opticalflowfromdepth_tpu.synth.writer import write_sample_packed
+
+    rng = np.random.default_rng(0)
+    h, w = 48, 64
+    img = jnp.asarray(rng.uniform(0, 255, (3, h, w)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(10, 200, (1, h, w)).astype(np.float32))
+    packed = synthesize_sample_packed(jax.random.PRNGKey(0), img, depth)
+    packed = jax.tree.map(np.asarray, packed)
+    out = str(tmp_path / "packed")
+    n = write_sample_packed(out, "t0", packed)
+    assert n == 1 + 5 * 12
+
+    ref_files = sorted(os.listdir(shard_dir))
+    got_files = sorted(os.listdir(out))
+    assert ref_files == got_files
+    for name in ref_files:
+        ref = np.load(os.path.join(shard_dir, name))
+        got = np.load(os.path.join(out, name))
+        assert sorted(ref.files) == sorted(got.files), name
+        for k in ref.files:
+            assert ref[k].dtype == got[k].dtype, (name, k)
+            np.testing.assert_array_equal(ref[k], got[k],
+                                          err_msg=f"{name}:{k}")
