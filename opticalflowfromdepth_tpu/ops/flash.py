@@ -38,12 +38,14 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale: float, lk_valid: int,
-                  num_k: int, block_k: int, has_bias: bool, swin=None):
+                  num_k: int, block_k: int, has_bias: bool, swin=None,
+                  with_lse: bool = False):
     """One (batch, q-tile, k-tile) program; k is the sequential axis."""
-    if has_bias:
-        bias_ref, o_ref, m_sc, l_sc, acc_sc = rest
-    else:
-        o_ref, m_sc, l_sc, acc_sc = rest
+    rest = list(rest)
+    bias_ref = rest.pop(0) if has_bias else None
+    o_ref = rest.pop(0)
+    lse_ref = rest.pop(0) if with_lse else None
+    m_sc, l_sc, acc_sc = rest
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -109,6 +111,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale: float, lk_valid: int,
     def _finalize():
         o_ref[0] = (acc_sc[...] / jnp.maximum(l_sc[...], 1e-30)
                     ).astype(o_ref.dtype)
+        if with_lse:
+            # log-sum-exp per query row, consumed by the streaming backward.
+            # Lane-broadcast [TQ, 128] store: TPU block specs require the
+            # trailing dim to be 128-divisible, so the row vector rides in
+            # every lane and the wrapper slices lane 0.
+            lse_val = m_sc[...] + jnp.log(jnp.maximum(l_sc[...], 1e-30))
+            lse_ref[0] = jnp.broadcast_to(lse_val, lse_ref[0].shape)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -132,15 +141,16 @@ def _pick_block(length: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret", "swin"))
+                                             "interpret", "swin",
+                                             "with_lse"))
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    scale: Optional[float] = None,
                    bias: Optional[jnp.ndarray] = None,
                    block_q: Optional[int] = None,
                    block_k: Optional[int] = None,
                    interpret: bool = False,
-                   swin: Optional[Tuple[int, int, int, int, int]]
-                   = None) -> jnp.ndarray:
+                   swin: Optional[Tuple[int, int, int, int, int]] = None,
+                   with_lse: bool = False):
     b, lq, c = q.shape
     _, lk, d = v.shape
     if scale is None:
@@ -184,16 +194,25 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     kernel = functools.partial(_flash_kernel, scale=float(scale),
                                lk_valid=lk, num_k=num_k, block_k=block_k,
-                               has_bias=bias is not None, swin=swin)
-    out = pl.pallas_call(
+                               has_bias=bias is not None, swin=swin,
+                               with_lse=with_lse)
+    out_specs = [pl.BlockSpec((1, block_q, v.shape[-1]),
+                              lambda ib, iq, ik: (ib, iq, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, v.shape[-1]),
+                                      jnp.float32)]
+    if with_lse:
+        out_specs.append(pl.BlockSpec((1, block_q, 128),
+                                      lambda ib, iq, ik: (ib, iq, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, lq_pad, 128),
+                                              jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(b, lq_pad // block_q, num_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, v.shape[-1]),
-                               lambda ib, iq, ik: (ib, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, lq_pad, v.shape[-1]),
-                                       jnp.float32),
+        out_specs=out_specs if with_lse else out_specs[0],
+        out_shape=out_shape if with_lse else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),            # running max
             pltpu.VMEM((block_q, 1), jnp.float32),            # denominator
@@ -208,7 +227,10 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             transcendentals=b * lq_pad * lk_pad,
         ),
     )(*operands)
-    return out[:, :lq, :d]
+    if with_lse:
+        out, lse = res
+        return out[:, :lq, :d], lse[:, :lq, 0]
+    return res[:, :lq, :d]
 
 
 def _swin_mask_dense(l: int, swin: Tuple[int, int, int, int, int],
@@ -230,17 +252,29 @@ def _swin_mask_dense(l: int, swin: Tuple[int, int, int, int, int],
 
 
 def _flash_vjp_fwd(q, k, v, bias, scale, block_q, block_k, interpret, swin):
-    out = _flash_forward(q, k, v, scale=scale, bias=bias, block_q=block_q,
-                         block_k=block_k, interpret=interpret, swin=swin)
-    return out, (q, k, v, bias)
+    out, lse = _flash_forward(q, k, v, scale=scale, bias=bias,
+                              block_q=block_q, block_k=block_k,
+                              interpret=interpret, swin=swin, with_lse=True)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_vjp_bwd(scale, block_q, block_k, interpret, swin, res, g):
-    """Dense-rematerialized backward: recompute p = softmax(s) once (one
-    [B, Lq, Lk] f32 live at a time — fine at training crop sizes; the
-    flash forward still carries eval-scale shapes). Bias gradients are
-    zero by construction (masks are constants here)."""
-    q, k, v, bias = res
+    """Backward pass. Default: streaming Pallas kernels (`flash_bwd.py`) —
+    no [B, Lq, Lk] ever materializes, so training at eval scale (L=7168)
+    is open. The dense rematerialization below remains as the oracle for
+    gradient-parity tests and as the fallback for the (unused in-model)
+    explicit-bias path. Bias gradients are zero by construction (masks
+    are constants here)."""
+    q, k, v, bias, out, lse = res
+    if bias is None:
+        from .flash_bwd import flash_backward
+        bq = block_q if block_q is not None else _pick_block(q.shape[1])
+        bk = block_k if block_k is not None else _pick_block(k.shape[1])
+        dq, dk, dv = flash_backward(q, k, v, out, lse, g,
+                                    scale=float(scale), block_q=bq,
+                                    block_k=bk, interpret=interpret,
+                                    swin=swin)
+        return dq, dk, dv, None
     qf = q.astype(jnp.bfloat16)
     kf = k.astype(jnp.bfloat16)
     s = jnp.einsum("blc,bmc->blm", qf, kf,

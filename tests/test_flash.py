@@ -128,3 +128,62 @@ def test_flash_gradients_match_dense(use_swin):
                                atol=5e-2, rtol=5e-2)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_flash_streaming_backward_large_L():
+    """Gradient parity of the streaming Pallas backward (flash_bwd.py) at
+    L=4096 in interpret mode — the scale where the old dense-remat VJP
+    carried a [B, L, L] f32 (67 MB/batch-el); the streaming pass never
+    materializes it. Oracle: dense f32 softmax; tolerance covers the
+    kernels' bf16 operand rounding."""
+    rng = np.random.default_rng(7)
+    b, l, c, d = 1, 4096, 64, 2
+    q = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(
+            flash_softmax_matmul(q, k, v, interpret=True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(flash_softmax_matmul_ref(q, k, v)))
+
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, ref, name in zip(g, r, "qkv"):
+        scale = np.max(np.abs(np.asarray(ref))) + 1e-12
+        diff = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+        assert diff / scale < 2e-2, f"d{name}: {diff:.2e} vs scale {scale:.2e}"
+
+
+def test_flash_streaming_backward_swin_and_padding():
+    """Streaming backward under the analytic Swin mask AND non-multiple
+    lengths (query/key padding paths), vs the dense-bias oracle."""
+    from opticalflowfromdepth_tpu.models.gmflow import shift_window_attn_mask
+    rng = np.random.default_rng(8)
+    h, w, k_sp = 12, 18, 3
+    wh, ww = h // k_sp, w // k_sp
+    swin = (k_sp, wh, ww, wh // 2, ww // 2)
+    b, l = 2 * k_sp * k_sp, wh * ww  # l = 24: pads to block 128
+    mask = shift_window_attn_mask(h, w, wh, ww, wh // 2, ww // 2)
+    bias_ref = jnp.tile(mask, (2, 1, 1))
+    c, d = 32, 16
+    q = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_softmax_matmul(
+            q, k, v, interpret=True, swin=swin)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(flash_softmax_matmul_ref(
+            q, k, v, bias=bias_ref)))
+
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, ref, name in zip(g, r, "qkv"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2,
+                                   err_msg=f"d{name}")
