@@ -78,7 +78,16 @@ class Loader:
                     idxs = [next(idx_stream) for _ in range(self.local_batch)]
                     samples = list(pool.map(
                         lambda i: self.dataset[int(i)], idxs))
-                    q.put(collate(samples))
+                    batch = collate(samples)
+                    # bounded put with a stop check: a plain q.put would
+                    # block forever once the consumer abandons the
+                    # generator, leaking the thread + one pinned batch
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -87,17 +96,30 @@ class Loader:
                 yield q.get()
         finally:
             stop.set()
+            try:                      # unblock a producer mid-put
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
 
 
 def device_put_sharded_batch(batch: Dict[str, np.ndarray], mesh,
-                             axis: str = "data") -> Dict[str, jax.Array]:
-    """Host-local batch -> global jax.Array sharded on the mesh axis."""
+                             axis: str = "data",
+                             process_count: Optional[int] = None
+                             ) -> Dict[str, jax.Array]:
+    """Host-local batch -> global jax.Array sharded on the mesh axis.
+
+    ``process_count`` is overridable so single-process tests can exercise
+    the multi-host `make_array_from_process_local_data` branch.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    pc = jax.process_count() if process_count is None else process_count
     out = {}
     for k, v in batch.items():
         sharding = NamedSharding(mesh, P(axis))
-        if jax.process_count() == 1:
+        if pc == 1:
             out[k] = jax.device_put(v, sharding)
         else:
             out[k] = jax.make_array_from_process_local_data(sharding, v)

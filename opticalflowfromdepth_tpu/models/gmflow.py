@@ -25,11 +25,13 @@ is token-shardable over the mesh (SURVEY.md §5.7).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import Mesh
 
 from ..core.geometry import pixel_grid
 from ..ops.flash import flash_softmax_matmul
@@ -41,8 +43,24 @@ Dtype = Any
 
 
 def _use_flash() -> bool:
-    """Pallas streaming softmax on TPU; dense XLA elsewhere (CPU tests)."""
+    """Pallas streaming softmax on TPU; dense XLA elsewhere (CPU tests).
+    OFD_FLASH=interpret forces the kernels in interpret mode (CPU-mesh
+    dryruns exercise the Pallas path without a chip); OFD_FLASH=off
+    disables them on TPU."""
+    env = os.environ.get("OFD_FLASH", "")
+    if env == "interpret":
+        return True
+    if env == "off":
+        return False
     return jax.default_backend() == "tpu"
+
+
+def _flash_interpret() -> bool:
+    return os.environ.get("OFD_FLASH", "") == "interpret"
+
+
+def _seq_parallel(mesh: Optional[Mesh], axis: str) -> bool:
+    return mesh is not None and axis in mesh.shape and mesh.shape[axis] > 1
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +210,8 @@ def _full_attention(q, k, v):
     if _use_flash():
         return flash_softmax_matmul(
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-            v.astype(jnp.bfloat16)).astype(v.dtype)
+            v.astype(jnp.bfloat16),
+            interpret=_flash_interpret()).astype(v.dtype)
     scores = jnp.einsum("blc,bmc->blm", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores / (c ** 0.5)
@@ -228,7 +247,8 @@ def _split_window_attention(q, k, v, num_splits: int, with_shift: bool,
         swin = (num_splits, wh, ww, wh // 2, ww // 2) if with_shift else None
         out = flash_softmax_matmul(
             qs.astype(jnp.bfloat16), ks.astype(jnp.bfloat16),
-            vs.astype(jnp.bfloat16), swin=swin).astype(vs.dtype)
+            vs.astype(jnp.bfloat16), swin=swin,
+            interpret=_flash_interpret()).astype(vs.dtype)
     else:
         scores = jnp.einsum("blc,bmc->blm", qs, ks,
                             preferred_element_type=jnp.float32) / (c ** 0.5)
@@ -250,6 +270,8 @@ class TransformerLayer(nn.Module):
     ffn_dim_expansion: int = 4
     with_shift: bool = False
     dtype: Dtype = jnp.float32
+    mesh: Optional[Mesh] = None
+    model_axis: str = "model"
 
     @nn.compact
     def __call__(self, source, target, h, w, attn_mask, attn_num_splits):
@@ -265,6 +287,12 @@ class TransformerLayer(nn.Module):
         if attn_num_splits > 1:
             message = _split_window_attention(
                 q, k, v, attn_num_splits, self.with_shift, h, w, attn_mask)
+        elif _seq_parallel(self.mesh, self.model_axis):
+            from ..parallel.sequence import ring_softmax_matmul
+            message = ring_softmax_matmul(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), self.mesh,
+                axis=self.model_axis).astype(v.dtype)
         else:
             message = _full_attention(q, k, v)
 
@@ -293,17 +321,21 @@ class TransformerBlock(nn.Module):
     ffn_dim_expansion: int = 4
     with_shift: bool = False
     dtype: Dtype = jnp.float32
+    mesh: Optional[Mesh] = None
+    model_axis: str = "model"
 
     @nn.compact
     def __call__(self, source, target, h, w, attn_mask, attn_num_splits):
         source = TransformerLayer(
             self.d_model, no_ffn=True, with_shift=self.with_shift,
             ffn_dim_expansion=self.ffn_dim_expansion, dtype=self.dtype,
+            mesh=self.mesh, model_axis=self.model_axis,
             name="self_attn")(source, source, h, w, attn_mask,
                               attn_num_splits)
         source = TransformerLayer(
             self.d_model, with_shift=self.with_shift,
             ffn_dim_expansion=self.ffn_dim_expansion, dtype=self.dtype,
+            mesh=self.mesh, model_axis=self.model_axis,
             name="cross_attn_ffn")(source, target, h, w, attn_mask,
                                    attn_num_splits)
         return source
@@ -315,6 +347,8 @@ class FeatureTransformer(nn.Module):
     d_model: int = 128
     ffn_dim_expansion: int = 4
     dtype: Dtype = jnp.float32
+    mesh: Optional[Mesh] = None
+    model_axis: str = "model"
 
     @nn.compact
     def __call__(self, feature0, feature1, attn_num_splits: int):
@@ -334,6 +368,7 @@ class FeatureTransformer(nn.Module):
             concat0 = TransformerBlock(
                 self.d_model, self.ffn_dim_expansion,
                 with_shift=(i % 2 == 1), dtype=self.dtype,
+                mesh=self.mesh, model_axis=self.model_axis,
                 name=f"block_{i}")(concat0, concat1, h, w, attn_mask,
                                    attn_num_splits)
             half0, half1 = jnp.split(concat0, 2, axis=0)
@@ -344,9 +379,14 @@ class FeatureTransformer(nn.Module):
 
 
 class FeatureFlowAttention(nn.Module):
-    """Flow propagation: q/k = feature0, v = flow; `transformer.py:325-409`."""
+    """Flow propagation: q/k = feature0, v = flow; `transformer.py:325-409`.
+
+    With a (data, model) mesh the global branch runs the sequence-parallel
+    ring (`parallel/sequence.py`), token axis sharded on ``model_axis``."""
     in_channels: int = 128
     dtype: Dtype = jnp.float32
+    mesh: Optional[Mesh] = None
+    model_axis: str = "model"
 
     @nn.compact
     def __call__(self, feature0, flow, local_window_attn: bool = False,
@@ -367,9 +407,17 @@ class FeatureFlowAttention(nn.Module):
             # projects feature0 directly (`transformer.py:389`).
             key = k_proj(query)
             value = flow.reshape(b, h * w, 2)
+            if _seq_parallel(self.mesh, self.model_axis):
+                from ..parallel.sequence import ring_softmax_matmul
+                out = ring_softmax_matmul(query.astype(jnp.float32),
+                                          key.astype(jnp.float32),
+                                          value.astype(jnp.float32),
+                                          self.mesh, axis=self.model_axis)
+                return out.reshape(b, h, w, 2)
             if _use_flash():
                 out = flash_softmax_matmul(query.astype(jnp.bfloat16),
-                                           key.astype(jnp.bfloat16), value)
+                                           key.astype(jnp.bfloat16), value,
+                                           interpret=_flash_interpret())
                 return out.reshape(b, h, w, 2)
             scores = jnp.einsum("blc,bmc->blm", query, key,
                                 preferred_element_type=jnp.float32) / (c ** 0.5)
@@ -405,16 +453,40 @@ class FeatureFlowAttention(nn.Module):
 # ---------------------------------------------------------------------------
 
 def global_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray,
-                               pred_bidir_flow: bool = False
+                               pred_bidir_flow: bool = False,
+                               mesh: Optional[Mesh] = None,
+                               model_axis: str = "model"
                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Global matching: softmax(corr) @ grid - grid; `matching.py:7-36`.
 
     feature0/1: [B, H, W, C]. Returns (flow [B, H, W, 2], prob).
+    With a >1-sized ``model_axis`` mesh the computation runs
+    sequence-parallel (ring over ICI) with the token axis sharded.
     """
     b, h, w, c = feature0.shape
     f0 = feature0.reshape(b, h * w, c)
     f1 = feature1.reshape(b, h * w, c)
     grid = jnp.moveaxis(pixel_grid(h, w), 0, -1).reshape(h * w, 2)
+
+    if _seq_parallel(mesh, model_axis):
+        # sequence-parallel ring matching: token axis sharded on the mesh,
+        # per-step softmax accumulation streamed over ICI ppermute
+        # (`parallel/sequence.py`; SURVEY.md §5.7)
+        from ..parallel.sequence import ring_softmax_matmul
+        gv = jnp.broadcast_to(grid[None], (b, h * w, 2))
+        f0_32 = f0.astype(jnp.float32)
+        f1_32 = f1.astype(jnp.float32)
+        corr_fwd = ring_softmax_matmul(f0_32, f1_32, gv, mesh,
+                                       axis=model_axis)
+        if pred_bidir_flow:
+            corr_bwd = ring_softmax_matmul(f1_32, f0_32, gv, mesh,
+                                           axis=model_axis)
+            correspondence = jnp.concatenate([corr_fwd, corr_bwd], axis=0)
+            b = b * 2
+        else:
+            correspondence = corr_fwd
+        flow = correspondence.reshape(b, h, w, 2) - grid.reshape(1, h, w, 2)
+        return flow, None
 
     if _use_flash():
         # streaming softmax @ grid: the [L, L] volume never materializes.
@@ -424,9 +496,11 @@ def global_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray,
         f0 = f0.astype(jnp.bfloat16)
         f1 = f1.astype(jnp.bfloat16)
         gv = jnp.broadcast_to(grid[None], (b, h * w, 2))
-        corr_fwd = flash_softmax_matmul(f0, f1, gv)
+        corr_fwd = flash_softmax_matmul(f0, f1, gv,
+                                        interpret=_flash_interpret())
         if pred_bidir_flow:
-            corr_bwd = flash_softmax_matmul(f1, f0, gv)
+            corr_bwd = flash_softmax_matmul(f1, f0, gv,
+                                            interpret=_flash_interpret())
             correspondence = jnp.concatenate([corr_fwd, corr_bwd], axis=0)
             b = b * 2
         else:
@@ -510,6 +584,11 @@ class GMFlow(nn.Module):
     num_transformer_layers: int = 6
     ffn_dim_expansion: int = 4
     dtype: Dtype = jnp.float32
+    # sequence parallelism (SURVEY.md §5.7): with a (data, model) mesh whose
+    # model axis is >1, global matching / full attention / global flow
+    # propagation run as a ring over the sharded token axis
+    mesh: Optional[Mesh] = None
+    model_axis: str = "model"
 
     @nn.compact
     def __call__(self, img0, img1,
@@ -530,9 +609,11 @@ class GMFlow(nn.Module):
 
         transformer = FeatureTransformer(
             self.num_transformer_layers, self.feature_channels,
-            self.ffn_dim_expansion, dtype=self.dtype, name="transformer")
+            self.ffn_dim_expansion, dtype=self.dtype, mesh=self.mesh,
+            model_axis=self.model_axis, name="transformer")
         flow_attn = FeatureFlowAttention(self.feature_channels,
-                                         dtype=self.dtype,
+                                         dtype=self.dtype, mesh=self.mesh,
+                                         model_axis=self.model_axis,
                                          name="feature_flow_attn")
 
         upsampler = nn.Sequential([
@@ -584,7 +665,8 @@ class GMFlow(nn.Module):
 
             if corr_radius == -1:
                 flow_pred = global_correlation_softmax(
-                    feature0, feature1, pred_bidir_flow)[0]
+                    feature0, feature1, pred_bidir_flow,
+                    mesh=self.mesh, model_axis=self.model_axis)[0]
             else:
                 flow_pred = local_correlation_softmax(
                     feature0, feature1, corr_radius)[0]

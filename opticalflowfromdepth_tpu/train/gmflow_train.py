@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh
 
 from ..models.classifier import Classifier
 from ..models.gmflow import GMFlow
@@ -47,6 +48,10 @@ class GMFlowTrainConfig:
     corr_radius_list: Tuple[int, ...] = (-1,)
     prop_radius_list: Tuple[int, ...] = (-1,)
     mixed_precision: bool = True
+    # sequence parallelism: >1 shards the global-matching/attention token
+    # axis over the mesh "model" axis (SURVEY.md §5.7); requires passing the
+    # (data, model) mesh to build_model/init_state/make_train_step
+    model_parallel: int = 1
     # classifier-regularizer schedule (`main.py:125-128`)
     add_classifier: bool = False
     classify_loss_weight_init: float = 1.0
@@ -55,18 +60,21 @@ class GMFlowTrainConfig:
     min_classify_loss_weight: float = 0.0
 
 
-def build_model(cfg: GMFlowTrainConfig) -> GMFlow:
+def build_model(cfg: GMFlowTrainConfig,
+                mesh: Optional[Mesh] = None) -> GMFlow:
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     return GMFlow(num_scales=cfg.num_scales,
                   upsample_factor=cfg.upsample_factor,
                   feature_channels=cfg.feature_channels,
                   num_transformer_layers=cfg.num_transformer_layers,
                   ffn_dim_expansion=cfg.ffn_dim_expansion,
-                  dtype=dtype)
+                  dtype=dtype,
+                  mesh=mesh if cfg.model_parallel > 1 else None)
 
 
-def init_state(cfg: GMFlowTrainConfig, rng: jax.Array) -> TrainState:
-    model = build_model(cfg)
+def init_state(cfg: GMFlowTrainConfig, rng: jax.Array,
+               mesh: Optional[Mesh] = None) -> TrainState:
+    model = build_model(cfg, mesh)
     h, w = cfg.image_size
     img = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = jax.jit(
@@ -90,13 +98,15 @@ def classify_weight_at(cfg: GMFlowTrainConfig, step: jnp.ndarray
 
 def make_train_step(cfg: GMFlowTrainConfig,
                     classifier_params: Optional[Any] = None,
-                    classifier_model: Optional[Classifier] = None):
+                    classifier_model: Optional[Classifier] = None,
+                    mesh: Optional[Mesh] = None):
     """Returns jit-able (state, batch, key) -> (state, metrics).
 
     batch: image1/image2 [B, H, W, 3] (0..255), flow [B, H, W, 2],
-    valid [B, H, W], label [B, 4].
+    valid [B, H, W], label [B, 4]. Pass the (data, model) mesh when
+    cfg.model_parallel > 1 to run sequence-parallel matching.
     """
-    model = build_model(cfg)
+    model = build_model(cfg, mesh)
 
     def loss_fn(params, batch, step):
         preds = model.apply(

@@ -191,3 +191,42 @@ def test_packed_writer_matches_reference_writer(shard_dir, tmp_path):
             assert ref[k].dtype == got[k].dtype, (name, k)
             np.testing.assert_array_equal(ref[k], got[k],
                                           err_msg=f"{name}:{k}")
+
+
+def test_loader_abandoned_iterator_leaves_no_threads(shard_dir):
+    """Abandoning a Loader generator must stop its producer thread (round-2
+    review: a blocking q.put leaked one thread + one pinned batch)."""
+    import gc
+    import threading
+    import time as _time
+
+    from opticalflowfromdepth_tpu.data.loader import Loader
+
+    ds = AugmentedShards(shard_dir, crop_size=(32, 48), seed=0)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(Loader(ds, batch_size=2, num_workers=2, prefetch=1,
+                         process_index=0, process_count=1))
+        next(it)
+        it.close()   # generator close triggers the finally/stop path
+    gc.collect()
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        f"{threading.active_count() - before} leaked loader threads")
+
+
+def test_device_put_sharded_batch_multihost_branch():
+    """Forced process_count>1 exercises make_array_from_process_local_data
+    (all shards addressable in a single-process CPU-mesh run); values must
+    match the single-process device_put path."""
+    from jax.sharding import Mesh
+
+    from opticalflowfromdepth_tpu.data.loader import device_put_sharded_batch
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    batch = {"x": np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
+    a = device_put_sharded_batch(batch, mesh)["x"]
+    b = device_put_sharded_batch(batch, mesh, process_count=2)["x"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
