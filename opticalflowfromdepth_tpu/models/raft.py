@@ -243,22 +243,33 @@ class RAFT(nn.Module):
         update = (SmallUpdateBlock if self.small else BasicUpdateBlock)(
             corr_planes, hidden_dim=hdim, dtype=self.dtype, name="update_block")
 
-        flow_predictions: List[jnp.ndarray] = []
-        flow_up = None
-        for _ in range(iters):
+        # GRU iterations as lax.scan + remat (`raft.py:122-139`): the
+        # round-2 build unrolled the 12/24 iterations in Python, inflating
+        # XLA compile time to minutes for the training step; scanning
+        # compiles the body once and remat drops per-iteration activations
+        # (recomputed in the backward) so memory is O(1) in iters.
+        # variable_broadcast shares the update weights across iterations
+        # with unchanged parameter naming (checkpoint ports depend on it).
+        def body(update_mod, carry, _):
+            net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)  # `raft.py:123`
             corr = corr_fn(coords1).astype(self.dtype)
             flow = (coords1 - coords0).astype(self.dtype)
-            net, up_mask, delta_flow = update(net, inp, corr, flow)
+            net, up_mask, delta_flow = update_mod(net, inp, corr, flow)
             coords1 = coords1 + delta_flow.astype(jnp.float32)
-
             if up_mask is None:
                 flow_up = upflow8(coords1 - coords0)
             else:
                 flow_up = convex_upsample(
                     coords1 - coords0, up_mask.astype(jnp.float32))
-            flow_predictions.append(flow_up)
+            return (net, coords1), flow_up
+
+        scan = nn.scan(nn.remat(body, prevent_cse=False),
+                       variable_broadcast="params",
+                       split_rngs={"params": False},
+                       length=iters)
+        (net, coords1), flow_ups = scan(update, (net, coords1), None)
 
         if test_mode:
-            return coords1 - coords0, flow_up
-        return flow_predictions
+            return coords1 - coords0, flow_ups[-1]
+        return [flow_ups[i] for i in range(iters)]

@@ -82,6 +82,53 @@ def _bilinear_lookup_flat(corr: jnp.ndarray, coords: jnp.ndarray,
     return acc
 
 
+def _separable_window_lookup(corr: jnp.ndarray, coords: jnp.ndarray,
+                             radius: int) -> jnp.ndarray:
+    """Gather-free bilinear window lookup (TPU-fast path).
+
+    corr: [B, N, hl, wl] one pyramid level; coords: [B, N, 2] (x, y) in
+    level pixels. Returns [B, N, (2r+1)^2] with the reference's x-major
+    window order (`_window_delta`).
+
+    Instead of gathering (2r+1)^2 x 4 taps per query (XLA lowers
+    take_along_axis to serial dynamic-slices on TPU — measured 185 ms per
+    lookup at 368x496 bs4, the entire RAFT step cost), the bilinear window
+    is two small batched matmuls against *indicator matrices* built from
+    iota comparisons, with the bilinear weights folded in:
+
+        out[q, ax, ay] = X[q, ax, :] @ corr[q] @ Y[q, ay, :]^T
+        Y[q, ay, y] = (1-fy) [y == y0+d_ay] + fy [y == y0+d_ay+1]
+
+    Out-of-range taps match no iota value and contribute exactly 0 — the
+    zero-padding semantics of `bilinear_sampler` for free.
+    """
+    b, n, hl, wl = corr.shape
+    r = radius
+    k = 2 * r + 1
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+
+    def indicator(center, fr, size):
+        # [B, N, K, size]: folded two-tap bilinear indicator rows
+        base = center[..., None] + d                      # [B, N, K]
+        i = jnp.arange(size, dtype=jnp.float32)
+        lo = (i == base[..., None]).astype(jnp.float32)
+        hi = (i == base[..., None] + 1.0).astype(jnp.float32)
+        return ((1.0 - fr)[..., None, None] * lo
+                + fr[..., None, None] * hi)
+
+    cx, cy = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    ymat = indicator(y0, cy - y0, hl)                     # [B, N, K, hl]
+    xmat = indicator(x0, cx - x0, wl)                     # [B, N, K, wl]
+
+    tmp = jnp.einsum("bnkh,bnhw->bnkw", ymat, corr)       # contract y
+    # x-major flattening: out[.., ax, ay] matches the reference's window
+    # quirk (delta "dy" applied to x varies along the major axis)
+    out = jnp.einsum("bnxw,bnkw->bnxk", xmat, tmp)
+    return out.reshape(b, n, k * k)
+
+
 class CorrPyramid:
     """All-pairs correlation pyramid (dense path, `corr.py:12-60`)."""
 
@@ -108,15 +155,10 @@ class CorrPyramid:
         [B, H, W, num_levels*(2r+1)^2] lookup features (f32)."""
         b, h, w, _ = coords.shape
         n = h * w
-        delta = _window_delta(self.radius)  # [K, 2]
         out = []
         for i, corr in enumerate(self.levels):
-            hl, wl = corr.shape[2], corr.shape[3]
-            centroid = coords.reshape(b, n, 1, 2) / (2.0 ** i)
-            coords_lvl = centroid + delta[None, None]
-            vals = _bilinear_lookup_flat(corr.reshape(b, n, hl * wl),
-                                         coords_lvl, hl, wl)
-            out.append(vals)
+            centroid = coords.reshape(b, n, 2) / (2.0 ** i)
+            out.append(_separable_window_lookup(corr, centroid, self.radius))
         return jnp.concatenate(out, axis=-1).reshape(b, h, w, -1)
 
 
