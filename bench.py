@@ -12,13 +12,17 @@ out, so the headline always lands even on a cold compile cache):
      No wall-clock is recorded in the reference tree, so vs_baseline uses
      an estimated 13 frames/s per V100 (57 ms bs1 fwd at 448x1024 scaled to
      368x560 and a ~3x fwd+bwd+opt factor) — estimate, not a measurement.
-  3. synth_throughput_384x512 [img/s] — full per-image synthesis incl. all
-     61 npz writes (`preprocess.py:329-480`). The reference records no
-     frames/s; vs_baseline uses an estimated 0.2 img/s for fw_cuda+cv2+f32
-     npz (61 compressed float32 npz ~380 MB/image dominates) — estimate.
-  4. raft_train_fps_368x496_bs4 [frames/s/chip] — RAFT mixed recipe step
+  3. raft_train_fps_368x496_bs4 [frames/s/chip] — RAFT mixed recipe step
      (`README.md:109-115`). No reference wall-clock exists;
      vs_baseline = 0.0 (unrecorded).
+  4. synth_device_throughput_384x512 [img/s] — chip-side rate of the full
+     per-image synthesis program (fenced).
+  5. synth_throughput_384x512 [img/s] — end-to-end incl. host transfer +
+     all 61 npz writes (`preprocess.py:329-480`). The reference records no
+     frames/s; vs_baseline uses an estimated 0.2 img/s for fw_cuda+cv2+f32
+     npz (61 compressed float32 npz ~380 MB/image dominates) — estimate.
+     Runs last: the device->host fetch rides the axon tunnel (20-25 MB/s,
+     minutes-long stalls under contention).
 
 Timing methodology (device metrics): the reference times `model(...)`
 between `torch.cuda.synchronize()` calls. On a tunneled TPU each dispatch
@@ -204,59 +208,66 @@ def bench_raft_train(on_tpu: bool) -> None:
 # metric 3: synthesis throughput (device synth + host npz writes)
 # ---------------------------------------------------------------------------
 
-def bench_synth(on_tpu: bool) -> None:
-    """Synthesis throughput, two lines:
-      synth_device_throughput — rate at which the chip produces the packed
-        per-image tensors (chain-fenced device time, the TPU-native number);
-      synth_throughput — end to end incl. host transfer + 61 npz writes,
-        pipelined exactly like synth/cli.py. NOTE: on this axon-tunneled
-        chip the device->host link runs ~20-25 MB/s with multi-minute
-        stalls under contention (~280 MB/image packed payload), so the e2e
-        number here is tunnel-bound; a PCIe/DMA-attached deployment moves
-        the bottleneck to npz compression."""
+def _synth_sample(rng, h: int, w: int, i: int):
+    img = rng.uniform(0, 255, (3, h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    depth = (120 + 80 * np.sin(xx / 37 + i) * np.cos(yy / 53) +
+             rng.uniform(0, 30, (h, w))).astype(np.float32)[None]
+    return jnp.asarray(img), jnp.asarray(depth)
+
+
+def bench_synth_device(on_tpu: bool) -> None:
+    """Rate at which the chip produces the packed per-image tensors
+    (chain-fenced device time, the TPU-native synthesis number)."""
+    from opticalflowfromdepth_tpu.synth.pipeline import synthesize_sample_packed
+
+    h, w = (384, 512) if on_tpu else (96, 128)
+    rng = np.random.default_rng(3)
+
+    img, dep = _synth_sample(rng, h, w, 0)   # compile all staged programs
+    out = synthesize_sample_packed(jax.random.PRNGKey(0), img, dep)
+    jax.block_until_ready(out)
+
+    n_dev = 8 if on_tpu else 1
+    inputs = [_synth_sample(rng, h, w, 100 + i) for i in range(n_dev)]
+    t0 = time.time()
+    last = None
+    for i, (im, dp) in enumerate(inputs):
+        last = synthesize_sample_packed(
+            jax.random.fold_in(jax.random.PRNGKey(1), i), im, dp)
+    float(jnp.sum(last["pairs_flt_f16"][0, 2]))  # fence
+    dev_rate = n_dev / (time.time() - t0)
+    emit(f"synth_device_throughput_{h}x{w}", dev_rate, "img/s",
+         dev_rate / BASELINE_SYNTH_IMGS_EST if on_tpu else 0.0)
+
+
+def bench_synth_e2e(on_tpu: bool) -> None:
+    """End-to-end synthesis incl. host transfer + 61 npz writes, pipelined
+    exactly like synth/cli.py. NOTE: on this axon-tunneled chip the
+    device->host link runs ~20-25 MB/s with multi-minute stalls under
+    contention (~280 MB/image packed payload), so this number is
+    tunnel-bound — which is why it runs LAST and on a single image; a
+    PCIe/DMA-attached deployment moves the bottleneck to npz compression
+    (see synth_device_throughput for the chip-side rate)."""
     from opticalflowfromdepth_tpu.synth.pipeline import synthesize_sample_packed
     from opticalflowfromdepth_tpu.synth.writer import AsyncShardWriter
 
     h, w = (384, 512) if on_tpu else (96, 128)
     rng = np.random.default_rng(3)
 
-    def sample(i: int):
-        img = rng.uniform(0, 255, (3, h, w)).astype(np.float32)
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-        depth = (120 + 80 * np.sin(xx / 37 + i) * np.cos(yy / 53) +
-                 rng.uniform(0, 30, (h, w))).astype(np.float32)[None]
-        return jnp.asarray(img), jnp.asarray(depth)
+    img, dep = _synth_sample(rng, h, w, 0)   # warm (cached from device pass)
+    out = synthesize_sample_packed(jax.random.PRNGKey(0), img, dep)
+    jax.block_until_ready(out)
 
     with tempfile.TemporaryDirectory() as tmp:
-        img, dep = sample(0)    # compile warmup (all staged programs)
-        out = synthesize_sample_packed(jax.random.PRNGKey(0), img, dep)
-        jax.block_until_ready(out)
-
-        # device-only rate: enqueue n_dev synth programs, fence on a scalar
-        n_dev = 8 if on_tpu else 1
-        inputs = [sample(100 + i) for i in range(n_dev)]
-        t0 = time.time()
-        last = None
-        for i, (im, dp) in enumerate(inputs):
-            last = synthesize_sample_packed(
-                jax.random.fold_in(jax.random.PRNGKey(1), i), im, dp)
-        float(jnp.sum(last["pairs_flt_f16"][0, 2]))  # fence
-        dev_rate = n_dev / (time.time() - t0)
-        emit(f"synth_device_throughput_{h}x{w}", dev_rate, "img/s",
-             dev_rate / BASELINE_SYNTH_IMGS_EST if on_tpu else 0.0)
-
-        n = 3 if on_tpu else 1
+        n = 1
         writer = AsyncShardWriter(tmp, workers=4)
         t0 = time.time()
-        pending = None
         for i in range(n):
-            img, dep = sample(i + 1)
+            img, dep = _synth_sample(rng, h, w, i + 1)
             out = synthesize_sample_packed(jax.random.fold_in(
                 jax.random.PRNGKey(0), i), img, dep)
-            if pending is not None:
-                writer.submit(f"s{i - 1}", jax.tree.map(np.asarray, pending))
-            pending = out
-        writer.submit(f"s{n - 1}", jax.tree.map(np.asarray, pending))
+            writer.submit(f"s{i}", jax.tree.map(np.asarray, out))
         writer.drain()
         dt = time.time() - t0
     imgs = n / dt
@@ -269,8 +280,12 @@ def main() -> None:
     plan = [
         ("infer", bench_infer, 0.0),          # headline: always run
         ("gmflow_train", bench_gmflow_train, 60.0),
-        ("synth", bench_synth, 45.0),
         ("raft_train", bench_raft_train, 60.0),
+        ("synth_device", bench_synth_device, 45.0),
+        # e2e synth runs LAST: its host fetch rides the axon tunnel and can
+        # stall for minutes under contention — it must never block a
+        # device metric (round-3 run: 3-image e2e blew a 600 s deadline).
+        ("synth_e2e", bench_synth_e2e, 120.0),
     ]
     printed = 0
     for name, fn, min_left in plan:
@@ -279,8 +294,11 @@ def main() -> None:
                   file=sys.stderr)
             continue
         try:
+            t0 = time.time()
             fn(on_tpu)
             printed += 1
+            print(f"[bench +{time.time() - T_START:.0f}s] {name} done "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr)
         except Exception as e:  # later metrics must not kill earlier lines
             if printed == 0:
                 raise

@@ -158,12 +158,13 @@ def main(argv=None) -> None:
 
     held = heldout_pairs(4, args.height, args.width)
 
+    fwd = jax.jit(lambda v, a, b: model.apply(
+        v, a, b, iters=args.iters, test_mode=True, train=False)[1])
+
     def eval_epe(variables) -> float:
         epes = []
         for i0, i1, gt in held:
-            _, up = model.apply(variables, jnp.asarray(i0)[None],
-                                jnp.asarray(i1)[None], iters=args.iters,
-                                test_mode=True, train=False)
+            up = fwd(variables, jnp.asarray(i0)[None], jnp.asarray(i1)[None])
             epe = np.linalg.norm(np.asarray(up)[0] - gt, axis=-1)
             epes.append(float(epe.mean()))
         return float(np.mean(epes))
