@@ -95,6 +95,34 @@ def forward_warp(obj: jnp.ndarray, flow: jnp.ndarray, depth: jnp.ndarray
 forward_warp_batch = jax.vmap(forward_warp, in_axes=(0, 0, 0))
 
 
+def forward_warp_flip(obj: jnp.ndarray, depth: jnp.ndarray,
+                      horizontal: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``forward_warp(obj, flip_flow, depth)`` without the sort.
+
+    When the warping flow is the mirror field from
+    ``core.special_flow.flip_flow``, the integer target map is exactly the
+    mirror permutation: ``p1 = p0 + (mirror - p0)`` is exact in f32
+    (integer grid coords < 2^23), in-range (clamp inactive) and bijective,
+    so every target has exactly one writer and the z-buffer degenerates —
+    ``valid`` is all-ones and the depth test reduces to the per-pixel
+    ``depth < ZBUF_INIT`` check. Equality with the generic warp is pinned
+    by `tests/test_forward_warp.py::test_flip_fast_path_exact`.
+
+    This replaces a 196k-element 3-key sort (~4.6 ms on v5e at 384x512)
+    with a reversal — the synthesis engine's hottest call (3 of the 6
+    warps per geometric augmentation warp along the special flow).
+    """
+    ax = 2 if horizontal else 1
+    f_obj = jnp.flip(obj, axis=ax)
+    f_depth = jnp.flip(depth, axis=ax)
+    write_ok = f_depth < ZBUF_INIT
+    out = jnp.where(write_ok, f_obj, 0.0)
+    valid = jnp.ones_like(depth, jnp.float32)
+    collision = (~write_ok).astype(jnp.float32)
+    return out.astype(jnp.float32), valid, collision
+
+
 def concat_flow(flow_ab: jnp.ndarray, back_flow_ab: jnp.ndarray,
                 flow_bc: jnp.ndarray, depth_b: jnp.ndarray
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from ..core import convert, special_flow
 from ..core.depth_utils import fix_warped_depth, normalize_depth
 from ..core.rng import get_random
-from ..ops.forward_warp import back_flow, concat_flow, forward_warp
+from ..ops.forward_warp import (back_flow, concat_flow, forward_warp,
+                                forward_warp_flip)
 from ..ops.inpaint import inpaint
 
 AUGMENT_SCHEDULE = (0, 5, 6, 7, 1, 5, 6, 7, 2, 5, 6, 7)  # `preprocess.py:454`
@@ -166,19 +167,30 @@ def augment_pair(key: jax.Array, pair: Pair, augment_flow_type: int
 
     if t >= 5:
         sf, bsf = special_flow.special_flow(key, h, w, t)
-        aug0_flow, _ = concat_flow(bsf, sf, flow01, img0_depth)
-        aug1_flow, _ = concat_flow(flow01, back_flow01, sf, img1_depth)
 
-        pack0 = jnp.concatenate([img0, img0_depth], axis=0)
-        out0, v0, c0 = forward_warp(pack0, sf, img0_depth)
-        aug_img0 = inpaint(out0[0:3], v0, c0)
-        aug_img0_depth = fix_warped_depth(out0[3:4])
-
+        # Three of the reference's six warps here go along the SAME special
+        # flow (`preprocess.py:116-135`): the ConcatFlow of flow01, the
+        # img0 pack and the img1 pack. The first two also share the depth
+        # buffer (img0_depth), so ONE z-buffer sort resolves both payloads;
+        # for flips the sort disappears entirely (exact mirror permutation,
+        # `ops/forward_warp.py:forward_warp_flip`). Equality with the
+        # straight-line composition is pinned by
+        # `tests/test_data_layer.py::test_augment_pair_matches_straightline`.
+        pack0 = jnp.concatenate([flow01, img0, img0_depth], axis=0)
         pack1 = jnp.concatenate([img1, img1_depth], axis=0)
-        out1, v1, c1 = forward_warp(pack1, sf, img1_depth)
+        if t == 5:
+            out0, v0, c0 = forward_warp_flip(pack0, img0_depth)
+            out1, v1, c1 = forward_warp_flip(pack1, img1_depth)
+        else:
+            out0, v0, c0 = forward_warp(pack0, sf, img0_depth)
+            out1, v1, c1 = forward_warp(pack1, sf, img1_depth)
+        aug0_flow = (out0[0:2] + bsf) * v0      # == concat_flow(bsf, sf, ...)
+        aug_img0 = inpaint(out0[2:5], v0, c0)
+        aug_img0_depth = fix_warped_depth(out0[5:6])
         aug_img1 = inpaint(out1[0:3], v1, c1)
         aug_img1_depth = fix_warped_depth(out1[3:4])
 
+        aug1_flow, _ = concat_flow(flow01, back_flow01, sf, img1_depth)
         back_aug0_flow, _ = back_flow(aug0_flow, aug_img0_depth)
         back_aug1_flow, _ = back_flow(aug1_flow, img0_depth)
 

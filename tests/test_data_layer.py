@@ -230,3 +230,52 @@ def test_device_put_sharded_batch_multihost_branch():
     a = device_put_sharded_batch(batch, mesh)["x"]
     b = device_put_sharded_batch(batch, mesh, process_count=2)["x"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_augment_pair_matches_straightline():
+    """The merged-sort / flip fast-path geometric augment must equal the
+    straight-line composition of the public ops (`preprocess.py:116-147`
+    order): ConcatFlow, two pack warps, inpaint, BackFlow."""
+    import jax
+    from opticalflowfromdepth_tpu.core import special_flow
+    from opticalflowfromdepth_tpu.core.depth_utils import fix_warped_depth
+    from opticalflowfromdepth_tpu.ops.forward_warp import (
+        back_flow, concat_flow, forward_warp)
+    from opticalflowfromdepth_tpu.ops.inpaint import inpaint
+    from opticalflowfromdepth_tpu.synth.pipeline import Pair, augment_pair
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 32
+    mk = lambda c, lo, hi: jnp.asarray(
+        rng.uniform(lo, hi, size=(c, h, w)).astype(np.float32))
+    pair = Pair(img_a=mk(3, 0, 255), depth_a=mk(1, 1, 100),
+                img_b=mk(3, 0, 255), depth_b=mk(1, 1, 100),
+                flow_ab=mk(2, -4, 4), back_flow_ab=mk(2, -4, 4))
+
+    for t in (5, 6, 7):
+        key = jax.random.PRNGKey(t)
+        got = augment_pair(key, pair, t)
+
+        img0, img0_depth, img1, img1_depth, flow01, back_flow01 = pair
+        sf, bsf = special_flow.special_flow(key, h, w, t)
+        aug0_flow, _ = concat_flow(bsf, sf, flow01, img0_depth)
+        aug1_flow, _ = concat_flow(flow01, back_flow01, sf, img1_depth)
+        pack0 = jnp.concatenate([img0, img0_depth], axis=0)
+        out0, v0, c0 = forward_warp(pack0, sf, img0_depth)
+        aug_img0 = inpaint(out0[0:3], v0, c0)
+        aug_img0_depth = fix_warped_depth(out0[3:4])
+        pack1 = jnp.concatenate([img1, img1_depth], axis=0)
+        out1, v1, c1 = forward_warp(pack1, sf, img1_depth)
+        aug_img1 = inpaint(out1[0:3], v1, c1)
+        aug_img1_depth = fix_warped_depth(out1[3:4])
+        back_aug0_flow, _ = back_flow(aug0_flow, aug_img0_depth)
+        back_aug1_flow, _ = back_flow(aug1_flow, img0_depth)
+        want1 = jnp.concatenate(
+            [aug_img0, aug_img0_depth, aug0_flow, back_aug0_flow], axis=0)
+        want2 = jnp.concatenate(
+            [aug1_flow, back_aug1_flow, aug_img1, aug_img1_depth], axis=0)
+
+        np.testing.assert_array_equal(np.asarray(got.set1),
+                                      np.asarray(want1), err_msg=f"t={t}")
+        np.testing.assert_array_equal(np.asarray(got.set2),
+                                      np.asarray(want2), err_msg=f"t={t}")

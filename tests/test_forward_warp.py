@@ -104,3 +104,26 @@ def test_concat_and_back_flow_shapes_and_masks():
         assert set(np.unique(v)).issubset({0.0, 1.0})
     # masked outputs must be zero outside the valid mask
     assert np.all(np.asarray(cf)[:, np.asarray(v1)[0] == 0] == 0)
+
+
+@pytest.mark.parametrize("horizontal", [False, True])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_flip_fast_path_exact(horizontal, seed):
+    """forward_warp_flip == forward_warp along the flip special flow,
+    including the depth>=1000 no-write / collision semantics."""
+    from opticalflowfromdepth_tpu.core.special_flow import flip_flow
+    from opticalflowfromdepth_tpu.ops.forward_warp import forward_warp_flip
+
+    rng = np.random.default_rng(seed)
+    h, w, c = 11, 17, 5
+    obj = rng.normal(size=(c, h, w)).astype(np.float32)
+    depth = rng.uniform(1, 100, size=(1, h, w)).astype(np.float32)
+    depth[0, rng.integers(0, h, 7), rng.integers(0, w, 7)] = 1000.0
+
+    sf, _ = flip_flow(h, w, horizontal=horizontal)
+    want = forward_warp(jnp.asarray(obj), sf, jnp.asarray(depth))
+    got = forward_warp_flip(jnp.asarray(obj), jnp.asarray(depth),
+                            horizontal=horizontal)
+    for g, wnt, name in zip(got, want, ["output", "valid", "collision"]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(wnt),
+                                      err_msg=name)
