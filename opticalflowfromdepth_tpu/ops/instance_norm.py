@@ -2,11 +2,20 @@
 
 The encoders normalize over (H, W) per sample/channel after nearly every
 conv (`adjusted_gmflow/gmflow/backbone.py:6-36`, `adjusted_RAFT/core/
-extractor.py:6-56` with norm_fn='instance'). As separate XLA ops the
-pattern costs several full HBM passes over the activation map (reduce for
-mean, reduce for E[x^2], elementwise normalize, elementwise relu) — at the
-GMFlow backbone's 224x512x64 maps that measured ~2.5 ms of the ~5.3 ms
-backbone forward at Sintel eval shape on one TPU chip.
+extractor.py:6-56` with norm_fn='instance').
+
+Measured cost anatomy at the GMFlow backbone's 2x224x512x64 maps on v5e
+(profile_backbone.py): a bare 3x3/64ch conv is 0.20 ms (42% MXU) and the
+IN reduce+normalize alone is 0.06 ms — but a conv-IN-conv-IN res block is
+1.55 ms, not ~0.6. The gap is LAYOUT PING-PONG, not arithmetic: XLA
+space-to-batches the W axis of the small-batch convs (HLO shows
+[224,2,8,67,64] halo tensors), and every (H, W) reduction forces a copy
+back to a flat layout — 4-5 full-map copies per block. Neither this
+Pallas kernel (which imposes its own flat [B,HW,C] layout, 0.22 ms
+standalone) nor an MXU-einsum stats variant nor an explicit model-level
+W-chunking with halo+masked-exact stats (measured 1.73 ms — the manual
+chunk/unchunk copies cost as much as XLA's) beats the default, so the
+XLA path stays and the Pallas kernel remains opt-in.
 
 This kernel makes exactly two HBM reads and one write: a stats sweep
 accumulating per-channel sum / sum-of-squares into VMEM scratch, then a
