@@ -34,7 +34,14 @@ def _to_flow(p1: jnp.ndarray, p_prev: jnp.ndarray, p0: jnp.ndarray
     return special, back
 
 
-def flip_flow(h: int, w: int, horizontal: bool = False
+# The reference's alternating flip/shear toggles never flip back
+# (`preprocess.py:49,83,113-118`), so the effective orientation is always
+# VERTICAL. Shared constant so consumers (e.g. the synth pipeline's
+# sort-free mirror fast path) stay visibly coupled to this choice.
+FLIP_HORIZONTAL = False
+
+
+def flip_flow(h: int, w: int, horizontal: bool = FLIP_HORIZONTAL
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flip flow field; default vertical (the reference's effective branch).
 

@@ -179,8 +179,13 @@ def augment_pair(key: jax.Array, pair: Pair, augment_flow_type: int
         pack0 = jnp.concatenate([flow01, img0, img0_depth], axis=0)
         pack1 = jnp.concatenate([img1, img1_depth], axis=0)
         if t == 5:
-            out0, v0, c0 = forward_warp_flip(pack0, img0_depth)
-            out1, v1, c1 = forward_warp_flip(pack1, img1_depth)
+            # the mirror axis must match the special flow the slow path
+            # would warp along — special_flow.FLIP_HORIZONTAL makes the
+            # coupling explicit (ADVICE r3)
+            out0, v0, c0 = forward_warp_flip(
+                pack0, img0_depth, horizontal=special_flow.FLIP_HORIZONTAL)
+            out1, v1, c1 = forward_warp_flip(
+                pack1, img1_depth, horizontal=special_flow.FLIP_HORIZONTAL)
         else:
             out0, v0, c0 = forward_warp(pack0, sf, img0_depth)
             out1, v1, c1 = forward_warp(pack1, sf, img1_depth)
