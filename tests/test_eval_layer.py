@@ -167,3 +167,128 @@ def test_validate_sintel_count_time(fake_bench_root):
                           with_speed_metric=True)
     assert "inference_time_ms" in res and res["inference_time_ms"] > 0
     assert "sintel_clean_s0_10" in res
+
+
+# ---------------------------------------------------------------------------
+# end-to-end submission + directory inference (VERDICT r3 item 4;
+# `adjusted_RAFT/evaluate.py:195-257`, `adjusted_gmflow/evaluate.py:835-954`)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fake_test_root(tmp_path_factory):
+    """Tiny fake Sintel TEST split (two scenes x both dstypes) + KITTI
+    testing split — the submission entrypoints' input trees."""
+    import cv2
+    root = tmp_path_factory.mktemp("bench_test")
+    rng = np.random.default_rng(1)
+    h, w = 52, 70   # deliberately not divisible by 8: padder must act
+
+    for dstype in ("clean", "final"):
+        for scene, n in (("alley_9", 3), ("bandage_9", 2)):
+            d = root / "Sintel" / "test" / dstype / scene
+            d.mkdir(parents=True)
+            for i in range(n):
+                img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+                cv2.imwrite(str(d / f"frame_{i + 1:04d}.png"), img)
+
+    kt = root / "KITTI" / "testing" / "image_2"
+    kt.mkdir(parents=True)
+    for i in range(2):
+        for t in (10, 11):
+            img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            cv2.imwrite(str(kt / f"{i:06d}_{t}.png"), img)
+    return str(root)
+
+
+def test_create_sintel_submission_e2e(fake_test_root, tmp_path):
+    from opticalflowfromdepth_tpu.eval.submission import (
+        create_sintel_submission)
+
+    calls = []
+
+    def infer(image1, image2, flow_init=None):
+        b, h, w, _ = image1.shape
+        calls.append(None if flow_init is None else np.asarray(flow_init))
+        flow = np.full((b, h, w, 2), 2.5, np.float32)
+        return flow * 0.5, flow   # (flow_low, flow) RAFT test_mode contract
+
+    out = str(tmp_path / "sintel_sub")
+    create_sintel_submission(infer, root=fake_test_root, output_path=out,
+                             warm_start=True)
+
+    # (3-1)+(2-1) pairs per dstype, both dstypes
+    for dstype in ("clean", "final"):
+        assert sorted(os.listdir(os.path.join(out, dstype, "alley_9"))) == [
+            "frame0001.flo", "frame0002.flo"]
+        assert os.listdir(os.path.join(out, dstype, "bandage_9")) == [
+            "frame0001.flo"]
+    # written flow roundtrips at the UNPADDED size
+    flo = frame_io.read_flo(
+        os.path.join(out, "clean", "alley_9", "frame0001.flo"))
+    assert flo.shape == (52, 70, 2)
+    np.testing.assert_allclose(flo, 2.5, atol=1e-6)
+
+    # warm start: first frame of each scene gets no init; later frames get
+    # the forward-splat of the previous low-res flow (constant 1.25 here)
+    assert len(calls) == 6
+    per_scene = [calls[0:2], calls[2:3], calls[3:5], calls[5:6]]
+    for scene_calls in per_scene:
+        assert scene_calls[0] is None
+        for later in scene_calls[1:]:
+            assert later is not None
+            np.testing.assert_allclose(later[0, 3:-3, 3:-3], 1.25, atol=1e-5)
+
+
+def test_create_kitti_submission_e2e(fake_test_root, tmp_path):
+    from opticalflowfromdepth_tpu.eval.submission import (
+        create_kitti_submission)
+
+    def infer(image1, image2):
+        b, h, w, _ = image1.shape
+        return np.full((b, h, w, 2), -3.25, np.float32)
+
+    out = str(tmp_path / "kitti_sub")
+    create_kitti_submission(infer, root=fake_test_root, output_path=out)
+    assert sorted(os.listdir(out)) == ["000000_10.png", "000001_10.png"]
+    flow, valid = frame_io.read_flow_kitti(
+        os.path.join(out, "000000_10.png"))
+    assert flow.shape == (52, 70, 2)
+    np.testing.assert_allclose(flow, -3.25, atol=1 / 64)  # 16-bit quantized
+    np.testing.assert_array_equal(valid, 1.0)
+
+
+def test_inference_on_dir_e2e(tmp_path):
+    from opticalflowfromdepth_tpu.eval.inference import inference_on_dir
+    import cv2
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    rng = np.random.default_rng(2)
+    h, w = 52, 70
+    for i in range(3):
+        cv2.imwrite(str(src / f"f{i:02d}.png"),
+                    rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+
+    def infer_bidir(image1, image2):
+        b, hh, ww, _ = image1.shape
+        fwd = np.full((b, hh, ww, 2), 4.0, np.float32)
+        return np.concatenate([fwd, -fwd], axis=0)  # gmflow.py:115-117
+
+    out = str(tmp_path / "inferred")
+    inference_on_dir(infer_bidir, str(src), output_path=out,
+                     save_flo_flow=True, pred_bidir_flow=True,
+                     fwd_bwd_consistency_check=True)
+
+    names = sorted(os.listdir(out))
+    for stem in ("f00", "f01"):   # 3 frames -> 2 consecutive pairs
+        for suffix in ("_flow.png", "_flow_bwd.png", "_pred.flo",
+                       "_occ.png", "_occ_bwd.png"):
+            assert stem + suffix in names, (stem + suffix, names)
+    flo = frame_io.read_flo(os.path.join(out, "f00_pred.flo"))
+    assert flo.shape == (h, w, 2)
+    np.testing.assert_allclose(flo, 4.0, atol=1e-6)
+    # fwd = -bwd everywhere => perfectly consistent => no occlusion marked
+    from PIL import Image
+    occ = np.asarray(Image.open(os.path.join(out, "f00_occ.png")))
+    interior = occ[8:-8, 8:-8]
+    assert interior.max() == 0
