@@ -220,9 +220,34 @@ def _full_attention(q, k, v):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def _window_shard_axes(mesh: Mesh, model_axis: str, batch: int,
+                       num_windows: int, with_shift: bool):
+    """Mesh axes over which the window-batch axis of Swin attention can be
+    sharded, or None when it cannot (SURVEY.md §5.7, VERDICT r3 item 6).
+
+    Windows are independent batch entries after ``split_feature``, so they
+    shard freely — except that the in-kernel analytic shifted-window mask
+    derives the window id from the kernel's local batch index mod K^2.
+    Sharding in B-MAJOR chunks (every device gets whole K^2 window groups)
+    preserves that phase, which requires ``n_devices | batch``; non-shifted
+    layers only need ``n_devices | num_windows``. Falls back to the
+    replicated path otherwise.
+    """
+    axes = tuple(mesh.axis_names)
+    n = mesh.size
+    need = batch if with_shift else num_windows
+    return axes if need % n == 0 else None
+
+
 def _split_window_attention(q, k, v, num_splits: int, with_shift: bool,
-                            h: int, w: int, attn_mask):
-    """Swin window attention; `transformer.py:46-105`."""
+                            h: int, w: int, attn_mask,
+                            mesh: Optional[Mesh] = None,
+                            model_axis: str = "model"):
+    """Swin window attention; `transformer.py:46-105`.
+
+    With a (data, model) mesh the window-batch axis is sharded over BOTH
+    axes under `shard_map` (windows are independent), so the whole
+    transformer — not just matching/propagation — scales with the mesh."""
     b, _, c = q.shape
     wh, ww = h // num_splits, w // num_splits
     q = q.reshape(b, h, w, c)
@@ -245,10 +270,27 @@ def _split_window_attention(q, k, v, num_splits: int, with_shift: bool,
         # (swin=...), so neither the [L, L] scores nor the mask ever
         # reach HBM
         swin = (num_splits, wh, ww, wh // 2, ww // 2) if with_shift else None
-        out = flash_softmax_matmul(
-            qs.astype(jnp.bfloat16), ks.astype(jnp.bfloat16),
-            vs.astype(jnp.bfloat16), swin=swin,
-            interpret=_flash_interpret()).astype(vs.dtype)
+        shard_axes = (None if mesh is None or not _seq_parallel(
+            mesh, model_axis) else _window_shard_axes(
+                mesh, model_axis, b, qs.shape[0], with_shift))
+        if shard_axes is not None:
+            from jax.sharding import PartitionSpec as _P
+            spec = _P(shard_axes, None, None)
+            interp = _flash_interpret()
+            out = jax.shard_map(
+                lambda a, bq, cv: flash_softmax_matmul(
+                    a, bq, cv, swin=swin, interpret=interp),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                # pallas_call does not carry vma metadata for shard_map's
+                # varying-mesh-axes check; the body is per-window pure
+                check_vma=False,
+            )(qs.astype(jnp.bfloat16), ks.astype(jnp.bfloat16),
+              vs.astype(jnp.bfloat16)).astype(vs.dtype)
+        else:
+            out = flash_softmax_matmul(
+                qs.astype(jnp.bfloat16), ks.astype(jnp.bfloat16),
+                vs.astype(jnp.bfloat16), swin=swin,
+                interpret=_flash_interpret()).astype(vs.dtype)
     else:
         scores = jnp.einsum("blc,bmc->blm", qs, ks,
                             preferred_element_type=jnp.float32) / (c ** 0.5)
@@ -286,7 +328,8 @@ class TransformerLayer(nn.Module):
 
         if attn_num_splits > 1:
             message = _split_window_attention(
-                q, k, v, attn_num_splits, self.with_shift, h, w, attn_mask)
+                q, k, v, attn_num_splits, self.with_shift, h, w, attn_mask,
+                mesh=self.mesh, model_axis=self.model_axis)
         elif _seq_parallel(self.mesh, self.model_axis):
             from ..parallel.sequence import ring_softmax_matmul
             message = ring_softmax_matmul(

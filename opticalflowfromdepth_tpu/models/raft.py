@@ -192,6 +192,14 @@ class RAFT(nn.Module):
     alternate_corr: bool = False
     corr_levels: int = 4
     dtype: Dtype = jnp.float32  # compute dtype for encoders/GRU
+    # backward rematerialization of the GRU scan body:
+    #   "full" — recompute everything (O(1) activation memory in iters;
+    #            measured +~45% step time at 368x496 bs4);
+    #   "dots" — save dot_general outputs (the corr-volume lookups, the
+    #            per-iteration hot spot) and recompute only convs and
+    #            elementwise ops (~500 MB at 368x496 bs4 12 iters);
+    #   "none" — no remat (fastest, highest memory).
+    remat: str = "dots"
 
     @property
     def corr_radius(self) -> int:
@@ -235,9 +243,10 @@ class RAFT(nn.Module):
 
         if self.alternate_corr:
             corr_fn = lambda c: on_demand_corr(
-                fmap1, fmap2, c, self.corr_levels, radius)
+                fmap1, fmap2, c, self.corr_levels, radius, dtype=self.dtype)
         else:
-            pyramid = CorrPyramid(fmap1, fmap2, self.corr_levels, radius)
+            pyramid = CorrPyramid(fmap1, fmap2, self.corr_levels, radius,
+                                  dtype=self.dtype)
             corr_fn = pyramid
 
         update = (SmallUpdateBlock if self.small else BasicUpdateBlock)(
@@ -264,7 +273,13 @@ class RAFT(nn.Module):
                     coords1 - coords0, up_mask.astype(jnp.float32))
             return (net, coords1), flow_up
 
-        scan = nn.scan(nn.remat(body, prevent_cse=False),
+        if self.remat == "none":
+            scan_body = body
+        else:
+            policy = (None if self.remat == "full" else
+                      jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            scan_body = nn.remat(body, prevent_cse=False, policy=policy)
+        scan = nn.scan(scan_body,
                        variable_broadcast="params",
                        split_rngs={"params": False},
                        length=iters)

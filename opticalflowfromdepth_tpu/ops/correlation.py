@@ -114,7 +114,7 @@ def _separable_window_lookup(corr: jnp.ndarray, coords: jnp.ndarray,
         lo = (i == base[..., None]).astype(jnp.float32)
         hi = (i == base[..., None] + 1.0).astype(jnp.float32)
         return ((1.0 - fr)[..., None, None] * lo
-                + fr[..., None, None] * hi)
+                + fr[..., None, None] * hi).astype(corr.dtype)
 
     cx, cy = coords[..., 0], coords[..., 1]
     x0 = jnp.floor(cx)
@@ -122,37 +122,50 @@ def _separable_window_lookup(corr: jnp.ndarray, coords: jnp.ndarray,
     ymat = indicator(y0, cy - y0, hl)                     # [B, N, K, hl]
     xmat = indicator(x0, cx - x0, wl)                     # [B, N, K, wl]
 
-    tmp = jnp.einsum("bnkh,bnhw->bnkw", ymat, corr)       # contract y
+    tmp = jnp.einsum("bnkh,bnhw->bnkw", ymat, corr,
+                     preferred_element_type=jnp.float32)  # contract y
     # x-major flattening: out[.., ax, ay] matches the reference's window
     # quirk (delta "dy" applied to x varies along the major axis)
-    out = jnp.einsum("bnxw,bnkw->bnxk", xmat, tmp)
-    return out.reshape(b, n, k * k)
+    out = jnp.einsum("bnxw,bnkw->bnxk", xmat, tmp.astype(corr.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(corr.dtype).reshape(b, n, k * k)
 
 
 class CorrPyramid:
-    """All-pairs correlation pyramid (dense path, `corr.py:12-60`)."""
+    """All-pairs correlation pyramid (dense path, `corr.py:12-60`).
+
+    ``dtype`` is the storage/lookup compute dtype: float32 by default
+    (bit-matched to the torch oracle in the parity tests); the
+    mixed-precision training path passes bfloat16 — the volume (the
+    dominant HBM tensor, ~170 MB at 368x496 bs4) halves and the lookup
+    einsums run native-bf16 on the MXU with f32 accumulation. The
+    reference's AMP consumes the lookup output in fp16 anyway
+    (`raft.py:99` autocast around the update block).
+    """
 
     def __init__(self, fmap1: jnp.ndarray, fmap2: jnp.ndarray,
-                 num_levels: int = 4, radius: int = 4):
+                 num_levels: int = 4, radius: int = 4,
+                 dtype=jnp.float32):
         # fmap1, fmap2: [B, H, W, C] float32
         self.num_levels = num_levels
         self.radius = radius
+        self.dtype = dtype
         b, h, w, c = fmap1.shape
         self.shape = (b, h, w)
-        f1 = fmap1.reshape(b, h * w, c)
-        f2 = fmap2.reshape(b, h * w, c)
+        f1 = fmap1.astype(dtype).reshape(b, h * w, c)
+        f2 = fmap2.astype(dtype).reshape(b, h * w, c)
         corr = jnp.einsum("bnc,bmc->bnm", f1, f2,
                           preferred_element_type=jnp.float32)
         corr = corr / jnp.sqrt(jnp.asarray(c, jnp.float32))
-        corr = corr.reshape(b, h * w, h, w)
+        corr = corr.reshape(b, h * w, h, w).astype(dtype)
         self.levels: List[jnp.ndarray] = [corr]
         for _ in range(num_levels - 1):
-            corr = _avg_pool2x2(corr)
+            corr = _avg_pool2x2(corr.astype(jnp.float32)).astype(dtype)
             self.levels.append(corr)
 
     def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
         """coords: [B, H, W, 2] target positions; returns
-        [B, H, W, num_levels*(2r+1)^2] lookup features (f32)."""
+        [B, H, W, num_levels*(2r+1)^2] lookup features (self.dtype)."""
         b, h, w, _ = coords.shape
         n = h * w
         out = []
@@ -164,7 +177,7 @@ class CorrPyramid:
 
 def on_demand_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
                    coords: jnp.ndarray, num_levels: int = 4,
-                   radius: int = 4) -> jnp.ndarray:
+                   radius: int = 4, dtype=jnp.float32) -> jnp.ndarray:
     """Memory-efficient correlation lookup (alternate path, N2).
 
     Args:
@@ -173,13 +186,16 @@ def on_demand_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
 
     Returns: [B, H, W, num_levels*(2r+1)^2] — same contract as CorrPyramid,
     computed without materializing the H^2W^2 volume. Equivalent to the CUDA
-    kernel's bilinear scatter by linearity of the dot product.
+    kernel's bilinear scatter by linearity of the dot product. ``dtype``
+    as in :class:`CorrPyramid` (bfloat16 under mixed precision).
     """
     b, h, w, c = fmap1.shape
     n = h * w
     scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
     delta = _window_delta(radius)  # [K, 2]
     k = delta.shape[0]
+    fmap1 = fmap1.astype(dtype)
+    fmap2 = fmap2.astype(dtype)
     f1 = fmap1.reshape(b, n, c)
 
     out = []
@@ -207,9 +223,10 @@ def on_demand_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
             vals = jnp.take_along_axis(
                 f2_flat, idx[..., None], axis=1).reshape(b, n, k, c)
             win = win + vals * (wt * inb)[..., None].astype(fmap2.dtype)
-        corr = jnp.einsum("bnc,bnkc->bnk", f1, win,
-                          preferred_element_type=jnp.float32) * scale
+        corr = (jnp.einsum("bnc,bnkc->bnk", f1, win,
+                           preferred_element_type=jnp.float32)
+                * scale).astype(dtype)
         out.append(corr)
-        f2 = _avg_pool2x2(jnp.moveaxis(f2, -1, 1))  # pool spatial dims
-        f2 = jnp.moveaxis(f2, 1, -1)
+        f2 = _avg_pool2x2(jnp.moveaxis(f2.astype(jnp.float32), -1, 1))
+        f2 = jnp.moveaxis(f2, 1, -1).astype(dtype)
     return jnp.concatenate(out, axis=-1).reshape(b, h, w, -1)

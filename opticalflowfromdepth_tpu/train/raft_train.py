@@ -54,11 +54,14 @@ class RAFTTrainConfig:
     classify_loss_weight_increase: float = -2e-5
     max_classify_loss_weight: float = 1.0
     min_classify_loss_weight: float = 0.0
+    # GRU-scan rematerialization (see models/raft.py:RAFT.remat)
+    remat: str = "dots"
 
 
 def build_model(cfg: RAFTTrainConfig) -> RAFT:
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
-    return RAFT(small=cfg.small, dropout=cfg.dropout, dtype=dtype)
+    return RAFT(small=cfg.small, dropout=cfg.dropout, dtype=dtype,
+                remat=cfg.remat)
 
 
 def init_state(cfg: RAFTTrainConfig, rng: jax.Array) -> TrainState:

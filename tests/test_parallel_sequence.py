@@ -165,3 +165,45 @@ def test_gmflow_train_step_seq_parallel():
     delta = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                          state.params, new_state.params)
     assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_swin_window_attention_sharded_matches_replicated(monkeypatch):
+    """VERDICT r3 item 6: with a (data, model) mesh the splits=2 Swin
+    window path shards the window-batch axis under shard_map (flash
+    kernels in interpret mode) and matches the replicated flash path —
+    including shifted layers, whose in-kernel analytic mask depends on
+    window phase (preserved by B-major chunking)."""
+    from opticalflowfromdepth_tpu.models.gmflow import (
+        _split_window_attention)
+
+    monkeypatch.setenv("OFD_FLASH", "interpret")
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices).reshape(4, 2), ("data", "model"))
+    rng = np.random.default_rng(0)
+    b, h, w, c = 8, 16, 24, 32   # 2B=8 windows batch, divisible by 8
+    q = jnp.asarray(rng.normal(size=(b, h * w, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h * w, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h * w, c)).astype(np.float32))
+
+    for with_shift in (False, True):
+        ref = _split_window_attention(q, k, v, 2, with_shift, h, w, None)
+        with mesh:
+            got = jax.jit(lambda a, bb, cc: _split_window_attention(
+                a, bb, cc, 2, with_shift, h, w, None, mesh=mesh))(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"with_shift={with_shift}")
+
+
+def test_window_shard_axes_divisibility():
+    from opticalflowfromdepth_tpu.models.gmflow import _window_shard_axes
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    # shifted: needs batch % 8
+    assert _window_shard_axes(mesh, "model", 8, 32, True) == ("data", "model")
+    assert _window_shard_axes(mesh, "model", 4, 16, True) is None
+    # non-shifted: needs num_windows % 8
+    assert _window_shard_axes(mesh, "model", 4, 16, False) == (
+        "data", "model")
+    assert _window_shard_axes(mesh, "model", 1, 4, False) is None
