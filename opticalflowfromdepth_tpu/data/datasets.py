@@ -343,10 +343,14 @@ class AugmentedShards:
         data = self._load(index % len(self.files))
         side = int(self.rng.integers(0, 2))
         sfx = "1" if side == 0 else "2"
+        from ..synth.writer import dequantize_flow
+
         img1 = data[f"img0_{sfx}"].astype(np.float32)
         img2 = data[f"img1_{sfx}"].astype(np.float32)
-        flow = data[f"flow_{sfx}"].astype(np.float32)
-        back_flow = data[f"back_flow_{sfx}"].astype(np.float32)
+        # flows may be f16 (default) or int16 fixed-point (1/64 px,
+        # --flow_int16 shards); decode by dtype
+        flow = dequantize_flow(data[f"flow_{sfx}"])
+        back_flow = dequantize_flow(data[f"back_flow_{sfx}"])
         depth1 = data[f"depth0_{sfx}"].astype(np.float32)
         depth2 = data[f"depth1_{sfx}"].astype(np.float32)
         label = int(data["label"])

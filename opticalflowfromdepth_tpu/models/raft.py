@@ -46,16 +46,21 @@ def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
     return 8.0 * resize_bilinear_align_corners(flow, 8 * h, 8 * w)
 
 
-def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8
-                    ) -> jnp.ndarray:
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8,
+                    dtype: Dtype = jnp.float32) -> jnp.ndarray:
     """Convex-combination upsampling; `raft.py:72-83`.
 
     flow: [B, H, W, 2]; mask: [B, H, W, 9*factor^2] -> [B, f*H, f*W, 2].
+    ``dtype`` is the combination compute dtype: float32 (HIGHEST-precision
+    einsum, bit-stable vs the torch oracle) by default; the bf16 training
+    path passes bfloat16 — the reference's AMP autocast covers its
+    upsample too (`raft.py:127`), and the ~0.4%-relative flow rounding is
+    inside the L1 training-loss noise floor.
     """
     b, h, w, _ = flow.shape
     f = factor
     mask = mask.reshape(b, h, w, 9, f * f)
-    mask = jax.nn.softmax(mask, axis=3)
+    mask = jax.nn.softmax(mask.astype(jnp.float32), axis=3)
 
     # 3x3 neighborhoods of f*flow: [B, H, W, 9, 2], tap order (ky, kx)
     # row-major with zero padding — exactly the reference's F.unfold
@@ -65,8 +70,13 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8
         [fp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],
         axis=3)
 
-    up = jnp.einsum("bhwkf,bhwkc->bhwfc", mask, patches,
-                    precision=jax.lax.Precision.HIGHEST)  # [B,H,W,f*f,2]
+    if dtype == jnp.float32:
+        up = jnp.einsum("bhwkf,bhwkc->bhwfc", mask, patches,
+                        precision=jax.lax.Precision.HIGHEST)
+    else:
+        up = jnp.einsum("bhwkf,bhwkc->bhwfc", mask.astype(dtype),
+                        patches.astype(dtype),
+                        preferred_element_type=jnp.float32)
     up = up.reshape(b, h, w, f, f, 2)
     up = up.transpose(0, 1, 3, 2, 4, 5)  # [B, H, f, W, f, 2]
     return up.reshape(b, h * f, w * f, 2)
@@ -270,8 +280,11 @@ class RAFT(nn.Module):
                 flow_up = upflow8(coords1 - coords0)
             else:
                 flow_up = convex_upsample(
-                    coords1 - coords0, up_mask.astype(jnp.float32))
-            return (net, coords1), flow_up
+                    coords1 - coords0, up_mask.astype(jnp.float32),
+                    dtype=self.dtype)
+            # stack the per-iteration supervision targets in the compute
+            # dtype (the loss upcasts); halves the 12x full-res ys traffic
+            return (net, coords1), flow_up.astype(self.dtype)
 
         if self.remat == "none":
             scan_body = body
@@ -286,5 +299,5 @@ class RAFT(nn.Module):
         (net, coords1), flow_ups = scan(update, (net, coords1), None)
 
         if test_mode:
-            return coords1 - coords0, flow_ups[-1]
+            return coords1 - coords0, flow_ups[-1].astype(jnp.float32)
         return [flow_ups[i] for i in range(iters)]

@@ -45,6 +45,10 @@ def main(argv=None) -> None:
                    help="stop after N images (smoke runs)")
     p.add_argument("--write_workers", type=int, default=4,
                    help="npz writer threads (compression releases the GIL)")
+    p.add_argument("--flow_int16", action="store_true",
+                   help="store flows as int16 fixed-point (1/64 px, KITTI "
+                        "encoding): smaller shards, faster deflate; readers "
+                        "decode by dtype")
     args = p.parse_args(argv)
 
     import jax
@@ -83,7 +87,8 @@ def main(argv=None) -> None:
                               is_stereo=(args.dataset == "DIML"))
     base_key = jax.random.PRNGKey(args.seed)
 
-    writer = AsyncShardWriter(args.out, workers=args.write_workers)
+    writer = AsyncShardWriter(args.out, workers=args.write_workers,
+                              flow_int16=args.flow_int16)
     done = 0
     pending = None  # (stem, device tree): transfer AFTER the next dispatch
     t_start = time.time()

@@ -109,15 +109,39 @@ def _savez_fast(path: str, level: int = 1, **arrays) -> None:
                                           allow_pickle=False)
 
 
+FLOW_Q = 64.0   # fixed-point step 1/64 px — the KITTI 16-bit encoding
+                # (`frame_utils.py:102-114`, data/frame_io.py)
+
+
+def _q16(flow_hwc: np.ndarray) -> np.ndarray:
+    """Quantize flow to int16 fixed-point (1/64 px, +-512 px range)."""
+    return np.clip(np.round(flow_hwc.astype(np.float32) * FLOW_Q),
+                   -32768, 32767).astype(np.int16)
+
+
+def dequantize_flow(arr: np.ndarray) -> np.ndarray:
+    """Inverse of the shard flow encoding: int16 -> px; float passthrough."""
+    if arr.dtype == np.int16:
+        return arr.astype(np.float32) / FLOW_Q
+    return arr.astype(np.float32)
+
+
 def write_sample_packed(out_dir: str, stem: str,
-                        sample: Dict[str, np.ndarray], level: int = 1
-                        ) -> int:
+                        sample: Dict[str, np.ndarray], level: int = 1,
+                        flow_int16: bool = False) -> int:
     """Write the output of `synth.pipeline.synthesize_sample_packed`.
 
     Produces byte-identical schema to :func:`write_sample` (same keys,
     dtypes, file names): geometric augmentations carry their own 8 channels;
     photometric ones re-use the parent pair's depth/flow tensors (their
     depth/flow are unchanged by construction, `preprocess.py:150-182`).
+
+    ``flow_int16`` stores flow/back_flow as int16 fixed-point (1/64 px —
+    the repo's KITTI encoding) instead of float16: quantized integers
+    deflate far better than f16 bit patterns, shrinking shards and
+    speeding both compression and training-time reads. Readers
+    (`data.datasets.AugmentedShards`) decode by dtype, so both schemas
+    coexist in one dataset dir.
     """
     from ..synth.pipeline import GEO_POSITIONS, PHO_POSITIONS
 
@@ -140,11 +164,13 @@ def write_sample_packed(out_dir: str, stem: str,
         arr = np.moveaxis(x_chw, 0, -1)
         return arr[..., 0] if arr.shape[-1] == 1 else arr
 
+    enc = _q16 if flow_int16 else (lambda a: a)
+
     n = 1
     for g in range(pimg.shape[0]):
         img0, img1 = hwc(pimg[g, 0]), hwc(pimg[g, 1])
         depth0, depth1 = hw(pflt[g, 0:1]), hw(pflt[g, 1:2])
-        flow, back = hw(pflt[g, 2:4]), hw(pflt[g, 4:6])
+        flow, back = enc(hw(pflt[g, 2:4])), enc(hw(pflt[g, 4:6]))
         for slot, a in enumerate(GEO_POSITIONS):
             s1i, s2i = hwc(gimg[g, slot, 0]), hwc(gimg[g, slot, 1])
             f1 = gflt[g, slot, 0]  # [5, H, W]: depth, flow(2), back(2)
@@ -152,10 +178,11 @@ def write_sample_packed(out_dir: str, stem: str,
             _savez_fast(
                 os.path.join(out_dir, f"{stem}_g{g}_a{a}.npz"), level,
                 img0_1=s1i, depth0_1=hw(f1[0:1]), img1_1=img1,
-                depth1_1=depth1, flow_1=hw(f1[1:3]), back_flow_1=hw(f1[3:5]),
+                depth1_1=depth1, flow_1=enc(hw(f1[1:3])),
+                back_flow_1=enc(hw(f1[3:5])),
                 img0_2=img0, depth0_2=depth0, img1_2=s2i,
-                depth1_2=hw(f2[0:1]), flow_2=hw(f2[1:3]),
-                back_flow_2=hw(f2[3:5]), label=np.int32(aug_types[a]))
+                depth1_2=hw(f2[0:1]), flow_2=enc(hw(f2[1:3])),
+                back_flow_2=enc(hw(f2[3:5])), label=np.int32(aug_types[a]))
             n += 1
         for slot, a in enumerate(PHO_POSITIONS):
             _savez_fast(
@@ -175,10 +202,12 @@ class AsyncShardWriter:
     61 np.savez_compressed calls on the main thread per image,
     `preprocess.py:437-476`)."""
 
-    def __init__(self, out_dir: str, workers: int = 4, level: int = 1):
+    def __init__(self, out_dir: str, workers: int = 4, level: int = 1,
+                 flow_int16: bool = False):
         from concurrent.futures import ThreadPoolExecutor
         self.out_dir = out_dir
         self.level = level
+        self.flow_int16 = flow_int16
         self.pool = ThreadPoolExecutor(max_workers=workers)
         self.futures = []
 
@@ -189,7 +218,7 @@ class AsyncShardWriter:
         # both are accepted because write_sample_packed np.asarray()s leaves.
         self.futures.append(
             self.pool.submit(write_sample_packed, self.out_dir, stem,
-                             sample, self.level))
+                             sample, self.level, self.flow_int16))
 
     def drain(self) -> int:
         total = 0

@@ -279,3 +279,59 @@ def test_augment_pair_matches_straightline():
                                       np.asarray(want1), err_msg=f"t={t}")
         np.testing.assert_array_equal(np.asarray(got.set2),
                                       np.asarray(want2), err_msg=f"t={t}")
+
+
+def test_flow_int16_shards_roundtrip_and_shrink(tmp_path):
+    """--flow_int16 shards: flows quantize to 1/64 px (KITTI encoding),
+    the reader decodes by dtype, every other key stays byte-identical,
+    and the quantized shards deflate smaller."""
+    from opticalflowfromdepth_tpu.synth.pipeline import (
+        synthesize_sample_packed)
+    from opticalflowfromdepth_tpu.synth.writer import (
+        dequantize_flow, write_sample_packed)
+
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    img = jnp.asarray(rng.uniform(0, 255, (3, h, w)).astype(np.float32))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    depth = jnp.asarray(  # smooth (real-data-like) depth -> smooth flows
+        (120 + 80 * np.sin(xx / 17) * np.cos(yy / 23))[None])
+    packed = jax.tree.map(np.asarray, synthesize_sample_packed(
+        jax.random.PRNGKey(1), img, depth))
+
+    d_f16 = str(tmp_path / "f16")
+    d_i16 = str(tmp_path / "i16")
+    write_sample_packed(d_f16, "t0", packed)
+    write_sample_packed(d_i16, "t0", packed, flow_int16=True)
+
+    files = sorted(os.listdir(d_f16))
+    assert files == sorted(os.listdir(d_i16))
+    size_f16 = sum(os.path.getsize(os.path.join(d_f16, f)) for f in files)
+    size_i16 = sum(os.path.getsize(os.path.join(d_i16, f)) for f in files)
+    # quantized integers deflate better than f16 bit patterns (~6% whole-
+    # shard / ~15% flow-entry on smooth synthetic depth; more on real data)
+    assert size_i16 < 0.98 * size_f16, (size_i16, size_f16)
+
+    for name in files:
+        if name.endswith("_group.npz"):
+            continue
+        ref = np.load(os.path.join(d_f16, name))
+        got = np.load(os.path.join(d_i16, name))
+        assert sorted(ref.files) == sorted(got.files), name
+        for k in ref.files:
+            if k.startswith(("flow_", "back_flow_")):
+                assert got[k].dtype == np.int16, (name, k)
+                np.testing.assert_allclose(
+                    dequantize_flow(got[k]), ref[k].astype(np.float32),
+                    atol=1 / 64 + 1e-3, err_msg=f"{name}:{k}")
+            else:
+                np.testing.assert_array_equal(ref[k], got[k],
+                                              err_msg=f"{name}:{k}")
+
+    # reader decodes transparently; non-flow outputs identical
+    a = AugmentedShards(d_f16, crop_size=(32, 48), seed=5)[0]
+    b = AugmentedShards(d_i16, crop_size=(32, 48), seed=5)[0]
+    np.testing.assert_array_equal(a["image1"], b["image1"])
+    np.testing.assert_allclose(a["flow"], b["flow"], atol=1 / 64 + 1e-3)
+    np.testing.assert_allclose(a["back_flow"], b["back_flow"],
+                               atol=1 / 64 + 1e-3)
