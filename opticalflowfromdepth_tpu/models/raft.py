@@ -203,13 +203,13 @@ class RAFT(nn.Module):
     corr_levels: int = 4
     dtype: Dtype = jnp.float32  # compute dtype for encoders/GRU
     # backward rematerialization of the GRU scan body:
-    #   "full" — recompute everything (O(1) activation memory in iters;
-    #            measured +~45% step time at 368x496 bs4);
-    #   "dots" — save dot_general outputs (the corr-volume lookups, the
-    #            per-iteration hot spot) and recompute only convs and
-    #            elementwise ops (~500 MB at 368x496 bs4 12 iters);
-    #   "none" — no remat (fastest, highest memory).
-    remat: str = "dots"
+    #   "none" — no remat (default; fastest: 167 vs 202 ms/step at
+    #            368x496 bs4 bf16 12 iters, ~1 GB of saved activations);
+    #   "dots" — save dot_general outputs only (corr lookups), recompute
+    #            convs/elementwise;
+    #   "full" — recompute everything (O(1) activation memory in iters —
+    #            use for large-batch / long-iteration runs).
+    remat: str = "none"
 
     @property
     def corr_radius(self) -> int:

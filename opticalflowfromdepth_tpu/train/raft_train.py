@@ -55,7 +55,7 @@ class RAFTTrainConfig:
     max_classify_loss_weight: float = 1.0
     min_classify_loss_weight: float = 0.0
     # GRU-scan rematerialization (see models/raft.py:RAFT.remat)
-    remat: str = "dots"
+    remat: str = "none"
 
 
 def build_model(cfg: RAFTTrainConfig) -> RAFT:
