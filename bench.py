@@ -449,11 +449,24 @@ def main() -> None:
     name_e2e, _, fn_e2e, e2e_floor = next(
         m for m in METRICS if m[0] == "synth_e2e")
 
-    # Phase 1 — measure the non-e2e metrics (in priority order) as their
-    # prepares land, holding back the e2e floor.  The tunnel-bound e2e
-    # metric must never preempt the headline: a stall inside it could eat
-    # the remaining deadline.
-    while budget_left() > e2e_floor + 20.0:
+    # Phase 0 — let the concurrent compiles finish before timing anything:
+    # a late prepare's warmup EXECUTION shares the in-order device queue
+    # and contaminates another metric's measurement (observed: synth
+    # device rate halved when measured beside a compiling train prepare).
+    # Escape at the budget edge so a hung compile can't block the rest.
+    while budget_left() > 120.0:
+        if all(preps[m[0]].done.is_set() for m in others):
+            break
+        time.sleep(2.0)
+
+    # Phase 1 — the headline metrics, in priority order, as their prepares
+    # land.  These are quick to MEASURE (~10-30 s each) once compiled, so
+    # we keep waiting for slow prepares even past the soft budget (up to a
+    # small grace window inside the external deadline): on a
+    # slow-server-compile day the right artifact is 4 headline lines, not
+    # one tunnel-bound e2e line (round-4 lesson — an earlier phase order
+    # reserved the e2e floor first and starved everything else).
+    while budget_left() > -60.0:
         remaining = [m for m in others if m[0] not in done]
         if not remaining:
             break
@@ -469,28 +482,24 @@ def main() -> None:
                 progress = True
         if not progress:
             time.sleep(2.0)
+    for name, _, _, _ in others:
+        if name not in done and preps[name].error is None:
+            log(f"LOST {name}: prepare never finished")
 
-    # Phase 2 — the e2e metric (shares the synth prepare).
+    # Phase 2 — the tunnel-bound e2e metric (shares the synth prepare),
+    # only with its full floor left: its device->host fetch can stall for
+    # minutes and must never eat the headline's deadline (ADVICE r3).
     p = preps[name_e2e]
-    if (state["printed"] == 0 or budget_left() >= e2e_floor) and \
-            p.wait(timeout=budget_left() - 60.0) is not None:
+    # last-resort clause: with zero lines printed an e2e line beats an
+    # empty artifact, budget or not
+    if (budget_left() >= e2e_floor or state["printed"] == 0) and \
+            p.wait(timeout=max(budget_left() - e2e_floor + 30.0,
+                               30.0 if state["printed"] == 0 else 0.0)
+                   ) is not None:
         try_measure(name_e2e, fn_e2e)
     elif p.error is None:
         log(f"SKIP {name_e2e}: {budget_left():.0f}s budget left "
             f"(needs {e2e_floor:.0f}) or prepare pending")
-
-    # Phase 3 — anything still compiling gets the leftover budget.
-    for name, _, measure_fn, min_left in others:
-        if name in done or preps[name].error is not None:
-            continue
-        if state["printed"] and budget_left() < min_left:
-            log(f"SKIP {name}: {budget_left():.0f}s budget left "
-                f"(needs {min_left:.0f})")
-            continue
-        if preps[name].wait(timeout=budget_left()) is not None:
-            try_measure(name, measure_fn)
-        else:
-            log(f"LOST {name}: prepare never finished")
 
 
 if __name__ == "__main__":
