@@ -97,6 +97,7 @@ def heldout_pairs(n: int, h: int, w: int, seed: int = 99
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", choices=("raft", "gmflow"), default="raft")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--images", type=int, default=8)
     ap.add_argument("--height", type=int, default=128)
@@ -122,8 +123,6 @@ def main(argv=None) -> None:
 
     from ..data.datasets import AugmentedShards
     from ..data.loader import Loader
-    from ..train.raft_train import (RAFTTrainConfig, init_state,
-                                    make_train_step)
 
     tmp = None
     shard_dir = args.shard_dir
@@ -144,22 +143,36 @@ def main(argv=None) -> None:
     loader = Loader(ds, batch_size=args.batch_size, num_workers=4,
                     process_index=0, process_count=1, seed=0)
 
-    cfg = RAFTTrainConfig(small=True, iters=args.iters, lr=args.lr,
-                          num_steps=args.steps,
-                          batch_size=args.batch_size,
-                          image_size=(args.crop_h, args.crop_w),
-                          mixed_precision=jax.default_backend() == "tpu")
+    mixed = jax.default_backend() == "tpu"
+    model_dtype = jnp.bfloat16 if mixed else jnp.float32
+    if args.model == "raft":
+        from ..models.raft import RAFT
+        from ..train.raft_train import (RAFTTrainConfig, init_state,
+                                        make_train_step)
+        cfg = RAFTTrainConfig(small=True, iters=args.iters, lr=args.lr,
+                              num_steps=args.steps,
+                              batch_size=args.batch_size,
+                              image_size=(args.crop_h, args.crop_w),
+                              mixed_precision=mixed)
+        model = RAFT(small=True, dtype=model_dtype)
+        fwd = jax.jit(lambda v, a, b: model.apply(
+            v, a, b, iters=args.iters, test_mode=True, train=False)[1])
+    else:
+        from ..models.gmflow import GMFlow
+        from ..train.gmflow_train import (GMFlowTrainConfig, init_state,
+                                          make_train_step)
+        cfg = GMFlowTrainConfig(lr=args.lr, num_steps=args.steps,
+                                batch_size=args.batch_size,
+                                image_size=(args.crop_h, args.crop_w),
+                                mixed_precision=mixed)
+        model = GMFlow(num_scales=1, dtype=model_dtype)
+        fwd = jax.jit(lambda v, a, b: model.apply(
+            v, a, b, attn_splits_list=(2,), corr_radius_list=(-1,),
+            prop_radius_list=(-1,), training=False)["flow_preds"][-1])
     state = init_state(cfg, jax.random.PRNGKey(0))
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
 
-    model_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
-    from ..models.raft import RAFT
-    model = RAFT(small=True, dtype=model_dtype)
-
     held = heldout_pairs(4, args.height, args.width)
-
-    fwd = jax.jit(lambda v, a, b: model.apply(
-        v, a, b, iters=args.iters, test_mode=True, train=False)[1])
 
     def eval_epe(variables) -> float:
         epes = []
