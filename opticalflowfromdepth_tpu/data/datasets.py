@@ -31,6 +31,7 @@ import numpy as np
 
 from . import frame_io
 from .augmentor import FlowAugmentor, SparseFlowAugmentor
+from ..synth.writer import dequantize_flow
 
 NUM_CLASSES = 4  # {none, flip, rotate, shear}; `dataloader.py:11`
 
@@ -343,8 +344,6 @@ class AugmentedShards:
         data = self._load(index % len(self.files))
         side = int(self.rng.integers(0, 2))
         sfx = "1" if side == 0 else "2"
-        from ..synth.writer import dequantize_flow
-
         img1 = data[f"img0_{sfx}"].astype(np.float32)
         img2 = data[f"img1_{sfx}"].astype(np.float32)
         # flows may be f16 (default) or int16 fixed-point (1/64 px,

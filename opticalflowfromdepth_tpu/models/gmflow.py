@@ -220,7 +220,7 @@ def _full_attention(q, k, v):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def _window_shard_axes(mesh: Mesh, model_axis: str, batch: int,
+def _window_shard_axes(mesh: Mesh, batch: int,
                        num_windows: int, with_shift: bool):
     """Mesh axes over which the window-batch axis of Swin attention can be
     sharded, or None when it cannot (SURVEY.md §5.7, VERDICT r3 item 6).
@@ -272,7 +272,7 @@ def _split_window_attention(q, k, v, num_splits: int, with_shift: bool,
         swin = (num_splits, wh, ww, wh // 2, ww // 2) if with_shift else None
         shard_axes = (None if mesh is None or not _seq_parallel(
             mesh, model_axis) else _window_shard_axes(
-                mesh, model_axis, b, qs.shape[0], with_shift))
+                mesh, b, qs.shape[0], with_shift))
         if shard_axes is not None:
             from jax.sharding import PartitionSpec as _P
             spec = _P(shard_axes, None, None)

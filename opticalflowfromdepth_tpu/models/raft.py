@@ -286,6 +286,9 @@ class RAFT(nn.Module):
             # dtype (the loss upcasts); halves the 12x full-res ys traffic
             return (net, coords1), flow_up.astype(self.dtype)
 
+        if self.remat not in ("none", "dots", "full"):
+            raise ValueError(f"RAFT.remat must be none/dots/full, "
+                             f"got {self.remat!r}")
         if self.remat == "none":
             scan_body = body
         else:

@@ -201,9 +201,9 @@ def test_window_shard_axes_divisibility():
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
                 ("data", "model"))
     # shifted: needs batch % 8
-    assert _window_shard_axes(mesh, "model", 8, 32, True) == ("data", "model")
-    assert _window_shard_axes(mesh, "model", 4, 16, True) is None
+    assert _window_shard_axes(mesh, 8, 32, True) == ("data", "model")
+    assert _window_shard_axes(mesh, 4, 16, True) is None
     # non-shifted: needs num_windows % 8
-    assert _window_shard_axes(mesh, "model", 4, 16, False) == (
+    assert _window_shard_axes(mesh, 4, 16, False) == (
         "data", "model")
-    assert _window_shard_axes(mesh, "model", 1, 4, False) is None
+    assert _window_shard_axes(mesh, 1, 4, False) is None
