@@ -207,3 +207,37 @@ def test_window_shard_axes_divisibility():
     assert _window_shard_axes(mesh, 4, 16, False) == (
         "data", "model")
     assert _window_shard_axes(mesh, 1, 4, False) is None
+
+
+def test_swin_window_attention_sharded_gradients(monkeypatch):
+    """Gradients through the sharded window path (shard_map + flash
+    custom-VJP backward kernels) must match the replicated path for both
+    shifted and non-shifted layers."""
+    from opticalflowfromdepth_tpu.models.gmflow import (
+        _split_window_attention)
+
+    monkeypatch.setenv("OFD_FLASH", "interpret")
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices).reshape(4, 2), ("data", "model"))
+    rng = np.random.default_rng(1)
+    b, h, w, c = 8, 16, 24, 16
+    q = jnp.asarray(rng.normal(size=(b, h * w, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h * w, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h * w, c)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, h * w, c)).astype(np.float32))
+
+    for with_shift in (False, True):
+        def loss(args, mesh_arg):
+            qq, kk, vv = args
+            out = _split_window_attention(qq, kk, vv, 2, with_shift, h, w,
+                                          None, mesh=mesh_arg)
+            return jnp.sum(out.astype(jnp.float32) * cot)
+
+        g_ref = jax.grad(loss)((q, k, v), None)
+        with mesh:
+            g_got = jax.jit(jax.grad(loss), static_argnums=1)((q, k, v),
+                                                              mesh)
+        for name, a, bb in zip("qkv", g_ref, g_got):
+            np.testing.assert_allclose(
+                np.asarray(bb), np.asarray(a), atol=1e-5, rtol=1e-5,
+                err_msg=f"grad {name} with_shift={with_shift}")
