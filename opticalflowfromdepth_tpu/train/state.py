@@ -18,6 +18,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.training import train_state as flax_train_state
@@ -81,9 +82,18 @@ def load_checkpoint(target: str, state: TrainState) -> TrainState:
         "step": jnp.asarray(0),
     }
     import orbax.checkpoint as ocp
+    # item=template is required: without it orbax infers the tree from the
+    # on-disk metadata, where optax's tuple/NamedTuple opt_state comes back
+    # as lists and clashes with the tuple-structured restore_args (caught
+    # by tests/test_cli_smoke.py resume path)
     restored = _ckptr().restore(
-        os.path.abspath(target),
+        os.path.abspath(target), item=template,
         restore_args=ocp.checkpoint_utils.construct_restore_args(template))
+    # orbax commits restored arrays to a single device; hand back numpy
+    # leaves (uncommitted => valid replicated inputs beside a mesh-sharded
+    # batch, in single- AND multi-process runs — every process restores
+    # the same bytes)
+    restored = jax.tree.map(np.asarray, restored)
     return state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
