@@ -63,6 +63,11 @@ loses an earlier metric. Headline metrics are waited for past the soft
 budget (small grace window inside the external deadline); the
 tunnel-bound e2e metric only runs with its full 240 s floor remaining.
 
+Train metrics carry an ``mfu`` field: model-FLOPs-utilization computed
+from the compiled step's XLA cost analysis (flops / step-time / 197 TFLOP/s
+v5e bf16 peak) — a measured utilization, independent of the estimated
+V100 vs_baseline denominators.
+
 Budget: BENCH_BUDGET_S (default 500 s — sized so that with a ~600 s
 external deadline, even the tunnel-bound e2e metric can finish). Exit
 code is 0 as long as at least one metric line printed (one metric's
@@ -102,10 +107,15 @@ BASELINE_SYNTH_REF_GPU_OPTIMISTIC = 0.0152   # img/s, measured bound
 BASELINE_SYNTH_REF_CPU = 0.0093              # img/s, measured
 
 
-def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
-    print(json.dumps({"metric": metric, "value": round(value, 3),
-                      "unit": unit,
-                      "vs_baseline": round(vs_baseline, 3)}), flush=True)
+PEAK_BF16_FLOPS_V5E = 197e12   # TPU v5e per-chip bf16 peak (197 TFLOP/s)
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline: float,
+         **extra) -> None:
+    line = {"metric": metric, "value": round(value, 3), "unit": unit,
+            "vs_baseline": round(vs_baseline, 3)}
+    line.update({k: round(v, 4) for k, v in extra.items()})
+    print(json.dumps(line), flush=True)
 
 
 def log(msg: str) -> None:
@@ -229,13 +239,35 @@ def _prepare_train(make_state, make_step, batch):
         return metrics["total_loss"]
 
     float(one())  # compile + warm
-    return one
+
+    # step FLOPs from XLA's own cost model of the compiled executable
+    # (VERDICT r4 #4: report measured MFU, not estimates). The jit call
+    # above populated the persistent compilation cache, so this AOT
+    # lower().compile() costs no extra server compile. NOTE: lower() on
+    # the CURRENT holder state — donation invalidated the original.
+    flops = 0.0
+    try:
+        ca = step.lower(holder["state"], batch, key).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception as e:
+        log(f"cost_analysis unavailable ({e!r}); mfu will be 0")
+    return one, flops
 
 
-def _measure_train(one, b: int, on_tpu: bool) -> float:
+def _measure_train(one, b: int, on_tpu: bool):
     n0, n1, reps = (2, 8, 3) if on_tpu else (1, 2, 1)
     ms = chain_slope_ms(one, n0, n1, reps)
-    return b / (ms / 1000.0)
+    return b / (ms / 1000.0), ms
+
+
+def _mfu(flops: float, ms: float, on_tpu: bool) -> float:
+    """Model FLOPs utilization: XLA-counted step FLOPs / step time /
+    v5e bf16 peak. 0.0 when FLOPs are unavailable or off-chip."""
+    if not on_tpu or flops <= 0 or ms <= 0:
+        return 0.0
+    return flops / (ms / 1000.0) / PEAK_BF16_FLOPS_V5E
 
 
 def prepare_gmflow_train(on_tpu: bool):
@@ -245,17 +277,19 @@ def prepare_gmflow_train(on_tpu: bool):
     cfg = gt.GMFlowTrainConfig(batch_size=b, image_size=(h, w),
                                mixed_precision=on_tpu)
     rng = np.random.default_rng(1)
-    one = _prepare_train(lambda: gt.init_state(cfg, jax.random.PRNGKey(1)),
-                         lambda: gt.make_train_step(cfg),
-                         _fake_batch(rng, b, h, w))
-    return {"one": one, "b": b, "h": h, "w": w}
+    one, flops = _prepare_train(
+        lambda: gt.init_state(cfg, jax.random.PRNGKey(1)),
+        lambda: gt.make_train_step(cfg),
+        _fake_batch(rng, b, h, w))
+    return {"one": one, "b": b, "h": h, "w": w, "flops": flops}
 
 
 def measure_gmflow_train(ctx, on_tpu: bool) -> None:
-    fps = _measure_train(ctx["one"], ctx["b"], on_tpu)
+    fps, ms = _measure_train(ctx["one"], ctx["b"], on_tpu)
     emit(f"gmflow_train_fps_{ctx['h']}x{ctx['w']}_bs{ctx['b']}", fps,
          "frames/s/chip",
-         fps / BASELINE_TRAIN_V100_FPS_EST if on_tpu else 0.0)
+         fps / BASELINE_TRAIN_V100_FPS_EST if on_tpu else 0.0,
+         mfu=_mfu(ctx["flops"], ms, on_tpu))
 
 
 def prepare_raft_train(on_tpu: bool):
@@ -265,17 +299,19 @@ def prepare_raft_train(on_tpu: bool):
     cfg = rt.RAFTTrainConfig(batch_size=b, image_size=(h, w),
                              mixed_precision=on_tpu, iters=12)
     rng = np.random.default_rng(2)
-    one = _prepare_train(lambda: rt.init_state(cfg, jax.random.PRNGKey(2)),
-                         lambda: rt.make_train_step(cfg),
-                         _fake_batch(rng, b, h, w))
-    return {"one": one, "b": b, "h": h, "w": w}
+    one, flops = _prepare_train(
+        lambda: rt.init_state(cfg, jax.random.PRNGKey(2)),
+        lambda: rt.make_train_step(cfg),
+        _fake_batch(rng, b, h, w))
+    return {"one": one, "b": b, "h": h, "w": w, "flops": flops}
 
 
 def measure_raft_train(ctx, on_tpu: bool) -> None:
-    fps = _measure_train(ctx["one"], ctx["b"], on_tpu)
+    fps, ms = _measure_train(ctx["one"], ctx["b"], on_tpu)
     emit(f"raft_train_fps_{ctx['h']}x{ctx['w']}_bs{ctx['b']}", fps,
          "frames/s/chip",
-         fps / BASELINE_RAFT_V100_FPS_EST if on_tpu else 0.0)
+         fps / BASELINE_RAFT_V100_FPS_EST if on_tpu else 0.0,
+         mfu=_mfu(ctx["flops"], ms, on_tpu))
 
 
 # ---------------------------------------------------------------------------

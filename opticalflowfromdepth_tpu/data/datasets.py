@@ -399,6 +399,107 @@ class AugmentedShards:
         }
 
 
+class DepthToFlowShards:
+    """Reader training directly on the *un-augmented* group pairs (D3,
+    `dataloader.py:160-232` — dead code in the reference: nothing consumes
+    it, and its channel indices target a pre-drift group layout; this is
+    the working equivalent against our `{stem}_group.npz` shards).
+
+    Each group tensor is the 44-channel layout of `preprocess.py:437-447`
+    (`synth.pipeline.group_tensor`). ``random_group`` selects one of the
+    three supervised pairs the reference reader exposes, mapped to the
+    *semantically correct* channels of that layout (the reference pairs
+    flow02 with the pre-inpaint img2; we pair it with img2', the image the
+    flow was actually composed for, `preprocess.py:430`):
+
+        0: (img0 0:3,  d0 3:4,  img1  4:7,   d1  7:8,  flow01 24:26, back 26:28)
+        1: (img1 4:7,  d1 7:8,  img2  8:11,  d2 11:12, flow12 28:30, back 30:32)
+        2: (img0 0:3,  d0 3:4,  img2' 16:19, d2' 19:20, flow02 32:34, back 34:36)
+
+    Label is always class 0 / "no geometric augmentation"
+    (`dataloader.py:229-231`). Flip/crop mirror the augmented reader.
+    """
+
+    _PAIRS = (
+        ((0, 3), (3, 4), (4, 7), (7, 8), (24, 26), (26, 28)),
+        ((4, 7), (7, 8), (8, 11), (11, 12), (28, 30), (30, 32)),
+        ((0, 3), (3, 4), (16, 19), (19, 20), (32, 34), (34, 36)),
+    )
+
+    def __init__(self, root: str, crop_size: Optional[Tuple[int, int]] = None,
+                 epochs: int = 2, seed: Optional[int] = None,
+                 h_flip_prob: float = 0.5, v_flip_prob: float = 0.1):
+        self.root = root
+        self.files = sorted(glob.glob(osp.join(root, "*_group.npz")))
+        if not self.files:
+            raise FileNotFoundError(f"no group shards under {root}")
+        self.crop_size = crop_size
+        self.epochs = epochs
+        self.rng = np.random.default_rng(seed)
+        self.h_flip_prob = h_flip_prob
+        self.v_flip_prob = v_flip_prob
+
+    def __len__(self) -> int:
+        return self.epochs * len(self.files)
+
+    def _load(self, index: int) -> np.ndarray:
+        """Corrupt files fall through to the next (`dataloader.py:180-184`)."""
+        from . import native_io
+
+        for off in range(len(self.files)):
+            path = self.files[(index + off) % len(self.files)]
+            try:
+                return native_io.load_npz(path)["group"]
+            except Exception:
+                continue
+        raise RuntimeError(f"all group shards unreadable under {self.root}")
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        group = self._load(index % len(self.files))  # [44, H, W] f16
+        (i0, d0, i1, d1, fl, bk) = self._PAIRS[int(self.rng.integers(0, 3))]
+
+        def chw(lo, hi):  # [C, H, W] f16 -> [H, W, C] f32
+            return np.moveaxis(group[lo:hi], 0, -1).astype(np.float32)
+
+        img1, img2 = chw(*i0), chw(*i1)
+        depth1, depth2 = chw(*d0)[..., 0], chw(*d1)[..., 0]
+        flow, back_flow = chw(*fl), chw(*bk)
+
+        if self.rng.random() < self.h_flip_prob:
+            img1, img2 = img1[:, ::-1], img2[:, ::-1]
+            flow = flow[:, ::-1] * [-1.0, 1.0]
+            back_flow = back_flow[:, ::-1] * [-1.0, 1.0]
+            depth1, depth2 = depth1[:, ::-1], depth2[:, ::-1]
+        if self.rng.random() < self.v_flip_prob:
+            img1, img2 = img1[::-1], img2[::-1]
+            flow = flow[::-1] * [1.0, -1.0]
+            back_flow = back_flow[::-1] * [1.0, -1.0]
+            depth1, depth2 = depth1[::-1], depth2[::-1]
+        if self.crop_size is not None:
+            ch, cw = self.crop_size
+            h, w = img1.shape[:2]
+            y0 = int(self.rng.integers(0, max(h - ch, 0) + 1))
+            x0 = int(self.rng.integers(0, max(w - cw, 0) + 1))
+            sel = (slice(y0, y0 + ch), slice(x0, x0 + cw))
+            img1, img2 = img1[sel], img2[sel]
+            flow, back_flow = flow[sel], back_flow[sel]
+            depth1, depth2 = depth1[sel], depth2[sel]
+
+        valid = ((np.abs(flow[..., 0]) < 1000) &
+                 (np.abs(flow[..., 1]) < 1000) &
+                 (depth1 != 100.0))
+        return {
+            "image1": np.ascontiguousarray(img1, np.float32),
+            "image2": np.ascontiguousarray(img2, np.float32),
+            "flow": np.ascontiguousarray(flow, np.float32),
+            "back_flow": np.ascontiguousarray(back_flow, np.float32),
+            "depth1": np.ascontiguousarray(depth1, np.float32),
+            "depth2": np.ascontiguousarray(depth2, np.float32),
+            "valid": np.ascontiguousarray(valid, np.float32),
+            "label": one_hot(0),  # always un-augmented (`dataloader.py:229`)
+        }
+
+
 class ConcatDataset:
     """Concatenation + integer-multiplication of datasets
     (replaces torch ConcatDataset use in `datasets.py:306-358`)."""
@@ -482,5 +583,12 @@ def fetch_train_dataset(stage: str, crop_size: Tuple[int, int],
                 aug_params=dict(aug, min_scale=-0.2, max_scale=0.5,
                                 do_flip=True),
                 seed=seed))
+        return parts[0] if len(parts) == 1 else ConcatDataset(parts)
+    if stage == "depthtoflow":
+        # un-augmented group pairs, label 0 (D3, `dataloader.py:160-232`);
+        # uses every shards_root dir given (redweb and/or diml)
+        assert shards_root, "depthtoflow stage needs shards_root dirs"
+        parts = [DepthToFlowShards(root, crop_size=crop_size, seed=seed)
+                 for root in shards_root.values()]
         return parts[0] if len(parts) == 1 else ConcatDataset(parts)
     raise ValueError(f"unknown stage: {stage}")

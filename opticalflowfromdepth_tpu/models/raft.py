@@ -269,13 +269,29 @@ class RAFT(nn.Module):
         # (recomputed in the backward) so memory is O(1) in iters.
         # variable_broadcast shares the update weights across iterations
         # with unchanged parameter naming (checkpoint ports depend on it).
+        has_mask = not self.small
+        # the final mask is threaded through the carry only when test_mode
+        # needs it — an empty-channel placeholder otherwise, so training
+        # pays no extra per-iteration carry traffic (26 MB/iter at bs4)
+        mask_ch = 64 * 9 if (has_mask and test_mode) else 0
+
         def body(update_mod, carry, _):
-            net, coords1 = carry
+            net, coords1, _ = carry
             coords1 = jax.lax.stop_gradient(coords1)  # `raft.py:123`
             corr = corr_fn(coords1).astype(self.dtype)
             flow = (coords1 - coords0).astype(self.dtype)
             net, up_mask, delta_flow = update_mod(net, inp, corr, flow)
             coords1 = coords1 + delta_flow.astype(jnp.float32)
+            mask32 = (up_mask.astype(jnp.float32) if mask_ch
+                      else jnp.zeros((b, h8, w8, 0), jnp.float32))
+            if test_mode:
+                # only the FINAL prediction is returned; skip the 11 dead
+                # per-iteration upsamples and carry the last mask out of
+                # the scan — the final upsample runs once, in float32, so
+                # submission-grade flows are not quantized to bfloat16 by
+                # the training-precision stack (ADVICE r4: the reference
+                # evaluates in fp32 while its AMP covers training only)
+                return (net, coords1, mask32), jnp.zeros((0,), self.dtype)
             if up_mask is None:
                 flow_up = upflow8(coords1 - coords0)
             else:
@@ -284,7 +300,7 @@ class RAFT(nn.Module):
                     dtype=self.dtype)
             # stack the per-iteration supervision targets in the compute
             # dtype (the loss upcasts); halves the 12x full-res ys traffic
-            return (net, coords1), flow_up.astype(self.dtype)
+            return (net, coords1, mask32), flow_up.astype(self.dtype)
 
         if self.remat not in ("none", "dots", "full"):
             raise ValueError(f"RAFT.remat must be none/dots/full, "
@@ -299,8 +315,16 @@ class RAFT(nn.Module):
                        variable_broadcast="params",
                        split_rngs={"params": False},
                        length=iters)
-        (net, coords1), flow_ups = scan(update, (net, coords1), None)
+        mask0 = jnp.zeros((b, h8, w8, mask_ch), jnp.float32)
+        (net, coords1, mask), flow_ups = scan(
+            update, (net, coords1, mask0), None)
 
         if test_mode:
-            return coords1 - coords0, flow_ups[-1].astype(jnp.float32)
+            flow_lr = coords1 - coords0
+            if has_mask:
+                flow_up = convex_upsample(flow_lr, mask,
+                                          dtype=jnp.float32)
+            else:
+                flow_up = upflow8(flow_lr)
+            return flow_lr, flow_up
         return [flow_ups[i] for i in range(iters)]

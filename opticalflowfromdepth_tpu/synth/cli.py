@@ -48,7 +48,9 @@ def main(argv=None) -> None:
     p.add_argument("--flow_int16", action="store_true",
                    help="store flows as int16 fixed-point (1/64 px, KITTI "
                         "encoding): smaller shards, faster deflate; readers "
-                        "decode by dtype")
+                        "decode by dtype. Representable range is ±511.98 px "
+                        "— larger flows clip (with a warning); keep f16 "
+                        "shards for extreme-motion synthesis")
     args = p.parse_args(argv)
 
     import jax

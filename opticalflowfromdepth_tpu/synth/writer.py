@@ -114,9 +114,21 @@ FLOW_Q = 64.0   # fixed-point step 1/64 px — the KITTI 16-bit encoding
 
 
 def _q16(flow_hwc: np.ndarray) -> np.ndarray:
-    """Quantize flow to int16 fixed-point (1/64 px, +-512 px range)."""
-    return np.clip(np.round(flow_hwc.astype(np.float32) * FLOW_Q),
-                   -32768, 32767).astype(np.int16)
+    """Quantize flow to int16 fixed-point (1/64 px, ±511.98 px range).
+
+    f16 shards represent magnitudes up to 65504; flows beyond the int16
+    range would silently saturate (ADVICE r4), so warn loudly — synthesized
+    flows at training resolutions stay well under ±512 px, and a warning
+    here means the sample is an outlier worth inspecting."""
+    f32 = flow_hwc.astype(np.float32)
+    peak = float(np.max(np.abs(f32), initial=0.0))
+    if peak * FLOW_Q > 32767:
+        import warnings
+        warnings.warn(
+            f"--flow_int16: |flow| up to {peak:.1f} px exceeds the ±512 px "
+            "int16 range; values will be clipped (use f16 shards for "
+            "extreme-motion synthesis)", RuntimeWarning, stacklevel=2)
+    return np.clip(np.round(f32 * FLOW_Q), -32768, 32767).astype(np.int16)
 
 
 def dequantize_flow(arr: np.ndarray) -> np.ndarray:

@@ -145,7 +145,12 @@ def measure(height: int, width: int, images: int) -> dict:
     preprocess.utils.inpaint = timed_inpaint
     # inpaint ends with .to(img.get_device()) (`utils.py:150`) which is -1
     # for CPU tensors and rejected by torch; get_device is only called
-    # there, so redirect it to "cpu" for this process.
+    # there, so redirect it to "cpu" while measuring. The process-wide
+    # patches (this and np.savez_compressed) are restored in the finally
+    # below (ADVICE r4): measure() is safe to import and call from other
+    # code, though a dedicated subprocess is still the recommended driver
+    # (it also execs the untrusted reference preprocess.py in-process).
+    real_get_device = torch.Tensor.get_device
     torch.Tensor.get_device = lambda self: "cpu"
 
     real_savez = np.savez_compressed
@@ -173,17 +178,21 @@ def measure(height: int, width: int, images: int) -> dict:
         return img, torch.from_numpy(depth[None])
 
     results = {}
-    with tempfile.TemporaryDirectory() as tmp:
-        ppa(sample(0), os.path.join(tmp, "warm"), False)  # warmup image
-        for k in ("fw", "inpaint", "savez"):
-            timers[k] = 0.0
-        timers["fw_calls"] = 0
-        bytes_written["n"] = 0
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            ppa(sample(0), os.path.join(tmp, "warm"), False)  # warmup image
+            for k in ("fw", "inpaint", "savez"):
+                timers[k] = 0.0
+            timers["fw_calls"] = 0
+            bytes_written["n"] = 0
 
-        t0 = time.perf_counter()
-        for i in range(images):
-            ppa(sample(i + 1), os.path.join(tmp, f"m{i}"), False)
-        total = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for i in range(images):
+                ppa(sample(i + 1), os.path.join(tmp, f"m{i}"), False)
+            total = time.perf_counter() - t0
+    finally:
+        np.savez_compressed = real_savez
+        torch.Tensor.get_device = real_get_device
 
     cpu_rate = images / total
     irreducible = timers["inpaint"] + timers["savez"]

@@ -48,7 +48,15 @@ class TrainRunner:
         self.cfg = cfg
         self.state = state
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.train_step = jax.jit(train_step)
+        # Donate the input TrainState buffers: params + optimizer state are
+        # the largest arrays in the step and the old state is dead the
+        # moment the call returns (self.state is reassigned), so XLA may
+        # write the updated state in place instead of double-buffering it
+        # (hundreds of MB of avoidable HBM footprint/traffic at GMFlow
+        # scale). The NaN-skip `jnp.where(ok, new, old)` select in the
+        # trainers stays correct — donation is an aliasing hint, XLA still
+        # reads the old buffers before reusing them.
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.batches = iter(batches)
         self.lr_at = lr_at
         self.validators = validators or {}
@@ -69,8 +77,15 @@ class TrainRunner:
         for name, fn in self.validators.items():
             try:
                 results.update(fn(infer_fn))
-            except FileNotFoundError as e:
-                print(f"validator {name} skipped (missing data): {e}")
+            except Exception as e:  # noqa: BLE001 — a val step must never
+                # kill a multi-day run. Missing data raises
+                # FileNotFoundError, but a *partially* populated tree
+                # surfaces as AssertionError / IndexError / ValueError from
+                # dataset constructors (e.g. the FlyingChairs length assert,
+                # data/datasets.py); log-and-skip them all, like the
+                # reference's corrupt-sample skip (`dataloader.py:81-91`).
+                print(f"validator {name} skipped "
+                      f"({type(e).__name__}): {e}")
         if results and jax.process_index() == 0:
             self.logger.write_dict(step, results)
             append_val_results(self.cfg.log_dir, step, results)

@@ -44,6 +44,27 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+def _save(target: str, payload) -> None:
+    import orbax.checkpoint as ocp
+    _ckptr().save(target, args=ocp.args.PyTreeSave(payload), force=True)
+
+
+def _restore(target: str, template):
+    """Restore via the ocp.args API (the legacy item=/restore_args= kwargs
+    are deprecated, ADVICE r4). The item template is required either way:
+    without it orbax infers the tree from on-disk metadata, where optax's
+    tuple/NamedTuple opt_state comes back as lists and clashes with the
+    tuple-structured restore_args (caught by the test_cli_smoke resume
+    path)."""
+    import orbax.checkpoint as ocp
+    return _ckptr().restore(
+        target,
+        args=ocp.args.PyTreeRestore(
+            item=template,
+            restore_args=ocp.checkpoint_utils.construct_restore_args(
+                template)))
+
+
 def save_checkpoint(path: str, state: TrainState,
                     name: str = "latest") -> str:
     """Full checkpoint (params+opt+step) at ``path/<name>``
@@ -55,7 +76,7 @@ def save_checkpoint(path: str, state: TrainState,
         "batch_stats": state.batch_stats,
         "step": jnp.asarray(int(state.step)),
     }
-    _ckptr().save(target, payload, force=True)
+    _save(target, payload)
     return target
 
 
@@ -69,7 +90,7 @@ def save_weights(path: str, params, name: str = "weights",
     payload = {"params": params}
     if batch_stats is not None:
         payload["batch_stats"] = batch_stats
-    _ckptr().save(target, payload, force=True)
+    _save(target, payload)
     return target
 
 
@@ -81,14 +102,7 @@ def load_checkpoint(target: str, state: TrainState) -> TrainState:
         "batch_stats": state.batch_stats,
         "step": jnp.asarray(0),
     }
-    import orbax.checkpoint as ocp
-    # item=template is required: without it orbax infers the tree from the
-    # on-disk metadata, where optax's tuple/NamedTuple opt_state comes back
-    # as lists and clashes with the tuple-structured restore_args (caught
-    # by tests/test_cli_smoke.py resume path)
-    restored = _ckptr().restore(
-        os.path.abspath(target), item=template,
-        restore_args=ocp.checkpoint_utils.construct_restore_args(template))
+    restored = _restore(os.path.abspath(target), template)
     # orbax commits restored arrays to a single device; hand back numpy
     # leaves (uncommitted => valid replicated inputs beside a mesh-sharded
     # batch, in single- AND multi-process runs — every process restores
@@ -107,13 +121,10 @@ def load_weights(target: str, params, batch_stats=None):
 
     Returns params, or (params, batch_stats) when a batch_stats template
     is given."""
-    import orbax.checkpoint as ocp
     item = {"params": params}
     if batch_stats is not None:
         item["batch_stats"] = batch_stats
-    restored = _ckptr().restore(
-        os.path.abspath(target),
-        restore_args=ocp.checkpoint_utils.construct_restore_args(item))
+    restored = _restore(os.path.abspath(target), item)
     if batch_stats is not None:
         return restored["params"], restored["batch_stats"]
     return restored["params"]

