@@ -1,5 +1,6 @@
 """Classifier training: learns to separate synthetic flow-field classes."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ def make_batch(rng, n, h, w):
             "label": jnp.asarray(np.stack(labels))}
 
 
+@pytest.mark.slow
 def test_classifier_learns_flow_classes():
     h, w = 32, 48
     cfg = ClassifierTrainConfig(image_size=(h, w), num_steps=60,

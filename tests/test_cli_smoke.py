@@ -35,6 +35,7 @@ def tiny_shards(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end_and_resume(tiny_shards, tmp_path):
     from opticalflowfromdepth_tpu.train import cli as train_cli
 
@@ -84,6 +85,7 @@ def test_validator_errors_do_not_kill_run(tmp_path):
     assert res == {"ok_metric": 1.0}
 
 
+@pytest.mark.slow
 def test_eval_cli_inference_dir(tiny_shards, tmp_path):
     """Chains off a trained checkpoint: restore + pad + infer + outputs."""
     from opticalflowfromdepth_tpu.eval import cli as eval_cli

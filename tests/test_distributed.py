@@ -91,6 +91,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_cluster_matches_single_process(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)

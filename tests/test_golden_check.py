@@ -37,6 +37,7 @@ def test_run_check_assertion_semantics(monkeypatch):
 
 
 @pytest.mark.skipif(not gc.__doc__, reason="never")
+@pytest.mark.slow
 def test_ckpt_roundtrip_npz(tmp_path):
     """port CLI .npz -> load_params -> same forward as direct port."""
     torch = pytest.importorskip("torch")

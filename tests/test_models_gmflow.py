@@ -79,6 +79,7 @@ def test_position_embedding_shape_and_range():
     (1, (2,), (-1,), (-1,)),
     (2, (2, 2), (-1, 4), (-1, 1)),
 ])
+@pytest.mark.slow
 def test_gmflow_forward_shapes(scales, splits, corr, prop):
     # 2-scale ("with refine") runs its final scale at 1/4 resolution, so
     # upsample_factor is 4 (`scripts/train_gmflow_with_refine.sh`).
@@ -96,6 +97,7 @@ def test_gmflow_forward_shapes(scales, splits, corr, prop):
         assert p.shape == (b, h, w, 2)
 
 
+@pytest.mark.slow
 def test_gmflow_bidir_flow():
     model = GMFlow(num_scales=1)
     b, h, w = 1, 32, 48
@@ -110,6 +112,7 @@ def test_gmflow_bidir_flow():
     assert final.shape == (2 * b, h, w, 2)  # fwd + bwd stacked on batch
 
 
+@pytest.mark.slow
 def test_gmflow_train_step_decreases_loss():
     h, w = 32, 48
     cfg = GMFlowTrainConfig(image_size=(h, w), num_steps=50,
@@ -136,6 +139,7 @@ def test_gmflow_train_step_decreases_loss():
     assert min(losses[1:]) < losses[0]
 
 
+@pytest.mark.slow
 def test_gmflow_train_step_nan_skip():
     h, w = 32, 48
     cfg = GMFlowTrainConfig(image_size=(h, w), num_steps=50,

@@ -25,6 +25,7 @@ def test_corr_pyramid_matches_dense_oracle():
     np.testing.assert_allclose(center, want, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_on_demand_corr_matches_pyramid():
     rng = np.random.default_rng(1)
     b, h, w, c = 2, 8, 12, 8
@@ -56,6 +57,7 @@ def test_convex_upsample_constant_flow():
 
 
 @pytest.mark.parametrize("small", [True, False])
+@pytest.mark.slow
 def test_raft_forward_shapes(small):
     model = RAFT(small=small)
     b, h, w = 1, 64, 96
@@ -67,6 +69,7 @@ def test_raft_forward_shapes(small):
     assert preds[-1].shape == (b, h, w, 2)
 
 
+@pytest.mark.slow
 def test_raft_test_mode_and_jit():
     model = RAFT(small=True)
     b, h, w = 1, 32, 48

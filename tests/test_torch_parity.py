@@ -122,6 +122,7 @@ def test_gmflow_one_scale_parity(training):
         _assert_close(_to_nhwc(r), o, 2e-2, f"gmflow1 pred[{i}]")
 
 
+@pytest.mark.slow
 def test_gmflow_two_scale_refine_parity():
     rng = _seed_all(1)
     tmodel, jmodel, params = _gmflow_pair(num_scales=2)
@@ -200,6 +201,7 @@ def _load_ref_raft(small: bool):
 
 
 @pytest.mark.parametrize("alternate_corr", [False, True])
+@pytest.mark.slow
 def test_raft_basic_parity(alternate_corr):
     # 128x128 so every corr-pyramid level is >= 2 px per side: the torch
     # reference's grid_sample normalization divides by (W-1) and NaNs on
@@ -228,6 +230,7 @@ def test_raft_basic_parity(alternate_corr):
         _assert_close(_to_nhwc(r), o, 2e-4, f"raft pred[{i}]")
 
 
+@pytest.mark.slow
 def test_raft_small_parity():
     from opticalflowfromdepth_tpu.models.raft import RAFT
     rng = _seed_all(4)
@@ -279,6 +282,7 @@ def test_classifier_parity():
     _assert_close(ref, out, 1e-4, "classifier logits")
 
 
+@pytest.mark.slow
 def test_gmflow_stage_parity():
     """Tight per-component parity: every GMFlow building block matches the
     reference to ~1e-4 on identical inputs (no accumulation effects)."""
@@ -387,6 +391,7 @@ def test_gmflow_stage_parity():
                   "flow_warp")
 
 
+@pytest.mark.slow
 def test_gmflow_scale1_stage_parity():
     """The REFINEMENT-scale components at their production configuration
     (splits=8 window transformer, local correlation r=4, local propagation
