@@ -302,6 +302,334 @@ struct Pool {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Encoder: blob-deduplicated npz writer (multithreaded deflate / stored).
+//
+// The synthesis engine writes 61 npz files per image whose schema repeats
+// each parent image/flow ~12x (matching the reference's per-(group,augment)
+// layout, `preprocess.py:453-476`). A "blob" is one npy entry (header +
+// payload) compressed/CRC'd ONCE and referenced by many files, so the
+// host-side cost is proportional to UNIQUE bytes. Array payloads are
+// borrowed (caller keeps them alive until drain/wait returns). High-entropy
+// f16/int16 tensors barely deflate (ratio ~0.7-0.9) — callers pass
+// method=0 (stored) for those and method=8 (deflate) for uint8 images.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+std::string npy_header(const std::string& dtype, int ndim,
+                       const long long* shape) {
+  std::string d = "{'descr': '" + dtype + "', 'fortran_order': False, "
+                  "'shape': (";
+  for (int i = 0; i < ndim; ++i) {
+    d += std::to_string(shape[i]);
+    d += (ndim == 1 || i + 1 < ndim) ? ", " : "";
+  }
+  if (ndim == 0) d += "";
+  d += "), }";
+  // pad with spaces so that 10 + len(dict) + 1 is a multiple of 64
+  size_t total = 10 + d.size() + 1;
+  size_t pad = (64 - total % 64) % 64;
+  d.append(pad, ' ');
+  d += '\n';
+  std::string h;
+  h.reserve(10 + d.size());
+  h += "\x93NUMPY";
+  h += '\x01';
+  h += '\x00';
+  uint16_t hlen = static_cast<uint16_t>(d.size());
+  h += static_cast<char>(hlen & 0xff);
+  h += static_cast<char>(hlen >> 8);
+  h += d;
+  return h;
+}
+
+struct Blob {
+  std::string header;        // npy magic+header bytes
+  const char* src = nullptr; // borrowed payload (caller-owned until drain)
+  size_t src_len = 0;
+  int method = 8;            // 0 stored, 8 deflate
+  int level = 1;
+  std::vector<char> comp;    // deflate stream (method 8 only)
+  uint32_t crc = 0;
+  enum State { QUEUED, RUNNING, DONE } state = QUEUED;
+  std::string error;
+
+  size_t usize() const { return header.size() + src_len; }
+  size_t csize() const {
+    return method == 8 ? comp.size() : usize();
+  }
+};
+
+struct FileJob {
+  std::string path;
+  std::vector<std::string> names;
+  std::vector<long long> blobs;
+  long long ticket = 0;
+};
+
+struct Encoder {
+  std::vector<std::thread> workers;
+  std::map<long long, Blob> blobs;
+  std::deque<long long> blob_q;
+  std::deque<FileJob> file_q;
+  std::map<long long, std::string> file_done;  // ticket -> error ("" = ok)
+  std::mutex mu;
+  std::condition_variable cv_work, cv_blob, cv_file;
+  bool stop = false;
+  int running_blobs = 0;   // claimed-but-unfinished blob jobs (drain safety)
+  long long next_blob = 1, next_ticket = 1;
+  std::string last_error;
+
+  explicit Encoder(int threads) {
+    for (int i = 0; i < threads; ++i)
+      workers.emplace_back([this] { run(); });
+  }
+
+  // Compress/CRC one blob. Called with the blob claimed (state RUNNING)
+  // and the lock NOT held.
+  static void process_blob(Blob* b) {
+    uLong crc = crc32(0L, Z_NULL, 0);
+    crc = crc32(crc, reinterpret_cast<const Bytef*>(b->header.data()),
+                static_cast<uInt>(b->header.size()));
+    if (b->src_len)
+      crc = crc32(crc, reinterpret_cast<const Bytef*>(b->src),
+                  static_cast<uInt>(b->src_len));
+    b->crc = static_cast<uint32_t>(crc);
+    if (b->method != 8) return;
+    z_stream s;
+    std::memset(&s, 0, sizeof(s));
+    if (deflateInit2(&s, b->level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK) {
+      b->error = "deflateInit2 failed";
+      return;
+    }
+    b->comp.resize(deflateBound(&s, static_cast<uLong>(b->usize())));
+    s.next_out = reinterpret_cast<Bytef*>(b->comp.data());
+    s.avail_out = static_cast<uInt>(b->comp.size());
+    s.next_in = reinterpret_cast<Bytef*>(
+        const_cast<char*>(b->header.data()));
+    s.avail_in = static_cast<uInt>(b->header.size());
+    if (deflate(&s, Z_NO_FLUSH) != Z_OK) b->error = "deflate header failed";
+    s.next_in = reinterpret_cast<Bytef*>(const_cast<char*>(b->src));
+    s.avail_in = static_cast<uInt>(b->src_len);
+    if (b->error.empty() && deflate(&s, Z_FINISH) != Z_STREAM_END)
+      b->error = "deflate body failed";
+    b->comp.resize(s.total_out);
+    deflateEnd(&s);
+  }
+
+  // Claim-or-wait for every blob a file needs (work-stealing: an unstarted
+  // blob is compressed inline by the file's worker, so two workers blocked
+  // on each other's queued blobs cannot deadlock).
+  bool ensure_blobs(const FileJob& job, std::string* err) {
+    for (long long id : job.blobs) {
+      std::unique_lock<std::mutex> lk(mu);
+      auto it = blobs.find(id);
+      if (it == blobs.end()) { *err = "unknown blob id"; return false; }
+      Blob* b = &it->second;
+      if (b->state == Blob::QUEUED) {
+        b->state = Blob::RUNNING;
+        ++running_blobs;
+        lk.unlock();
+        process_blob(b);
+        lk.lock();
+        b->state = Blob::DONE;
+        --running_blobs;
+        cv_blob.notify_all();
+        cv_file.notify_all();
+      } else if (b->state == Blob::RUNNING) {
+        cv_blob.wait(lk, [&] { return b->state == Blob::DONE; });
+      }
+      if (!b->error.empty()) { *err = b->error; return false; }
+    }
+    return true;
+  }
+
+  std::string write_file(const FileJob& job) {
+    std::string err;
+    if (!ensure_blobs(job, &err)) return job.path + ": " + err;
+    std::ofstream out(job.path, std::ios::binary | std::ios::trunc);
+    if (!out) return "cannot open " + job.path;
+
+    auto w16 = [&](uint16_t v) {
+      char b[2] = {static_cast<char>(v & 0xff), static_cast<char>(v >> 8)};
+      out.write(b, 2);
+    };
+    auto w32 = [&](uint32_t v) {
+      char b[4] = {static_cast<char>(v & 0xff),
+                   static_cast<char>((v >> 8) & 0xff),
+                   static_cast<char>((v >> 16) & 0xff),
+                   static_cast<char>((v >> 24) & 0xff)};
+      out.write(b, 4);
+    };
+
+    std::vector<size_t> offsets(job.names.size());
+    for (size_t i = 0; i < job.names.size(); ++i) {
+      const Blob& b = blobs[job.blobs[i]];
+      std::string ename = job.names[i] + ".npy";
+      offsets[i] = static_cast<size_t>(out.tellp());
+      w32(0x04034b50);
+      w16(20); w16(0); w16(static_cast<uint16_t>(b.method));
+      w16(0); w16(0);                       // dos time/date
+      w32(b.crc);
+      w32(static_cast<uint32_t>(b.csize()));
+      w32(static_cast<uint32_t>(b.usize()));
+      w16(static_cast<uint16_t>(ename.size())); w16(0);
+      out.write(ename.data(), ename.size());
+      if (b.method == 8) {
+        out.write(b.comp.data(), b.comp.size());
+      } else {
+        out.write(b.header.data(), b.header.size());
+        if (b.src_len) out.write(b.src, b.src_len);
+      }
+    }
+    size_t cd_off = static_cast<size_t>(out.tellp());
+    for (size_t i = 0; i < job.names.size(); ++i) {
+      const Blob& b = blobs[job.blobs[i]];
+      std::string ename = job.names[i] + ".npy";
+      w32(0x02014b50);
+      w16(20); w16(20); w16(0); w16(static_cast<uint16_t>(b.method));
+      w16(0); w16(0);
+      w32(b.crc);
+      w32(static_cast<uint32_t>(b.csize()));
+      w32(static_cast<uint32_t>(b.usize()));
+      w16(static_cast<uint16_t>(ename.size())); w16(0); w16(0);
+      w16(0); w16(0); w32(0);
+      w32(static_cast<uint32_t>(offsets[i]));
+      out.write(ename.data(), ename.size());
+    }
+    size_t cd_len = static_cast<size_t>(out.tellp()) - cd_off;
+    w32(0x06054b50);
+    w16(0); w16(0);
+    w16(static_cast<uint16_t>(job.names.size()));
+    w16(static_cast<uint16_t>(job.names.size()));
+    w32(static_cast<uint32_t>(cd_len));
+    w32(static_cast<uint32_t>(cd_off));
+    w16(0);
+    out.close();
+    return out ? "" : "write failed for " + job.path;
+  }
+
+  void run() {
+    for (;;) {
+      long long blob_id = -1;
+      FileJob job;
+      bool have_file = false;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [this] {
+          return stop || !blob_q.empty() || !file_q.empty();
+        });
+        if (stop && blob_q.empty() && file_q.empty()) return;
+        if (!blob_q.empty()) {          // blobs first: files consume them
+          blob_id = blob_q.front();
+          blob_q.pop_front();
+          Blob& b = blobs[blob_id];
+          if (b.state != Blob::QUEUED) continue;  // stolen by a file job
+          b.state = Blob::RUNNING;
+          ++running_blobs;
+        } else {
+          job = std::move(file_q.front());
+          file_q.pop_front();
+          have_file = true;
+        }
+      }
+      if (blob_id >= 0) {
+        Blob* b;
+        {
+          std::lock_guard<std::mutex> lk(mu);
+          b = &blobs[blob_id];
+        }
+        process_blob(b);
+        {
+          std::lock_guard<std::mutex> lk(mu);
+          b->state = Blob::DONE;
+          --running_blobs;
+        }
+        cv_blob.notify_all();
+        cv_file.notify_all();
+      } else if (have_file) {
+        std::string err = write_file(job);
+        {
+          std::lock_guard<std::mutex> lk(mu);
+          file_done[job.ticket] = err;
+          if (!err.empty()) last_error = err;
+        }
+        cv_file.notify_all();
+      }
+    }
+  }
+
+  long long add_blob(const void* data, long long nbytes, const char* dtype,
+                     int ndim, const long long* shape, int method,
+                     int level) {
+    long long id;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      id = next_blob++;
+      Blob& b = blobs[id];
+      b.header = npy_header(dtype, ndim, shape);
+      b.src = static_cast<const char*>(data);
+      b.src_len = static_cast<size_t>(nbytes);
+      b.method = method;
+      b.level = level;
+      blob_q.push_back(id);
+    }
+    cv_work.notify_one();
+    return id;
+  }
+
+  long long add_file(const char* path, int n, const char** names,
+                     const long long* blob_ids) {
+    FileJob job;
+    job.path = path;
+    for (int i = 0; i < n; ++i) {
+      job.names.emplace_back(names[i]);
+      job.blobs.push_back(blob_ids[i]);
+    }
+    long long t;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      t = next_ticket++;
+      job.ticket = t;
+      file_q.push_back(std::move(job));
+    }
+    cv_work.notify_one();
+    return t;
+  }
+
+  // Wait until every submitted file is written and no blob job is still
+  // running; returns the number of failed files and releases all blob
+  // state (the caller may free its borrowed arrays afterwards).
+  long long drain() {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_file.wait(lk, [this] {
+      return blob_q.empty() && file_q.empty() && running_blobs == 0 &&
+             file_done.size() == static_cast<size_t>(next_ticket - 1);
+    });
+    long long fails = 0;
+    for (auto& kv : file_done)
+      if (!kv.second.empty()) ++fails;
+    file_done.clear();
+    next_ticket = 1;
+    blobs.clear();
+    next_blob = 1;
+    return fails;
+  }
+
+  ~Encoder() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_work.notify_all();
+    for (auto& w : workers) w.join();
+  }
+};
+
+}  // namespace
+
 extern "C" {
 
 void* ofdio_load(const char* path) { return load_npz(path); }
@@ -346,6 +674,32 @@ void ofdio_copy(void* h, int i, void* dst) {
 }
 
 void ofdio_free(void* h) { delete static_cast<NpzFile*>(h); }
+
+void* ofdio_enc_new(int threads) {
+  return new Encoder(threads > 0 ? threads : 1);
+}
+
+long long ofdio_enc_blob(void* enc, const void* data, long long nbytes,
+                         const char* dtype, int ndim, const long long* shape,
+                         int method, int level) {
+  return static_cast<Encoder*>(enc)->add_blob(data, nbytes, dtype, ndim,
+                                              shape, method, level);
+}
+
+long long ofdio_enc_file(void* enc, const char* path, int n,
+                         const char** names, const long long* blob_ids) {
+  return static_cast<Encoder*>(enc)->add_file(path, n, names, blob_ids);
+}
+
+long long ofdio_enc_drain(void* enc) {
+  return static_cast<Encoder*>(enc)->drain();
+}
+
+const char* ofdio_enc_last_error(void* enc) {
+  return static_cast<Encoder*>(enc)->last_error.c_str();
+}
+
+void ofdio_enc_free(void* enc) { delete static_cast<Encoder*>(enc); }
 
 void* ofdio_pool_new(int threads) { return new Pool(threads > 0 ? threads : 1); }
 

@@ -78,6 +78,23 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.ofdio_copy.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.ofdio_free.restype = None
     lib.ofdio_free.argtypes = [ctypes.c_void_p]
+    lib.ofdio_enc_new.restype = ctypes.c_void_p
+    lib.ofdio_enc_new.argtypes = [ctypes.c_int]
+    lib.ofdio_enc_blob.restype = ctypes.c_longlong
+    lib.ofdio_enc_blob.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_char_p,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+        ctypes.c_int]
+    lib.ofdio_enc_file.restype = ctypes.c_longlong
+    lib.ofdio_enc_file.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_longlong)]
+    lib.ofdio_enc_drain.restype = ctypes.c_longlong
+    lib.ofdio_enc_drain.argtypes = [ctypes.c_void_p]
+    lib.ofdio_enc_last_error.restype = ctypes.c_char_p
+    lib.ofdio_enc_last_error.argtypes = [ctypes.c_void_p]
+    lib.ofdio_enc_free.restype = None
+    lib.ofdio_enc_free.argtypes = [ctypes.c_void_p]
     lib.ofdio_pool_new.restype = ctypes.c_void_p
     lib.ofdio_pool_new.argtypes = [ctypes.c_int]
     lib.ofdio_pool_submit.restype = ctypes.c_longlong
@@ -140,6 +157,108 @@ def load_npz(path: str) -> Dict[str, np.ndarray]:
             return {k: z[k] for k in z.files}
     handle = lib.ofdio_load(path.encode())
     return _unpack(lib, handle, path)
+
+
+class ShardEncoder:
+    """Native blob-deduplicated npz writer (multithreaded, no GIL).
+
+    The synthesis schema repeats each parent image/flow across ~12 of the
+    61 per-image files (matching `preprocess.py:453-476`); a *blob* is one
+    npy entry compressed + CRC'd once and referenced by many files, so the
+    host cost is proportional to UNIQUE bytes. uint8 entries are deflated
+    (they compress well and fast); ≥16-bit float/int entries are STORED by
+    default — f16/int16 flow tensors barely deflate (~0.7-0.9 ratio) and
+    dominate the write time otherwise. Output stays np.load-compatible.
+
+    Usage: blob()/file() any number of times, then drain() — which blocks
+    until every file is on disk and releases the borrowed array refs.
+    Do not submit concurrently with drain().
+    """
+
+    def __init__(self, threads: int = 0, level: int = 1,
+                 store_floats: bool = True):
+        lib = _lib()
+        if lib is None or not hasattr(lib, "ofdio_enc_new"):
+            raise RuntimeError("native IO unavailable; check g++/zlib or "
+                               "unset OFD_DISABLE_NATIVE_IO")
+        self._libref = lib
+        self._enc = lib.ofdio_enc_new(threads if threads > 0
+                                      else (os.cpu_count() or 2))
+        self.level = level
+        self.store_floats = store_floats
+        self._keep: list = []          # contiguous arrays alive until drain
+        self._ids: Dict[int, int] = {}  # id(array) -> blob id
+
+    def blob(self, arr: np.ndarray) -> int:
+        """Register one array as a blob; repeated calls with the SAME
+        array object return the same blob id (the dedup seam)."""
+        key = id(arr)
+        got = self._ids.get(key)
+        if got is not None:
+            return got
+        c = np.ascontiguousarray(arr)
+        # keep BOTH alive until drain: `c` is borrowed by C++; `arr` pins
+        # the id() key (a GC'd original could let a new array reuse the
+        # address and silently alias the wrong blob)
+        self._keep.append((arr, c))
+        # floats are stored raw (f16 flow/depth bit patterns barely
+        # deflate); uint8 images and int16 quantized flows deflate well
+        deflate = c.dtype.kind != "f" or not self.store_floats
+        shape = (ctypes.c_longlong * max(c.ndim, 1))(*c.shape)
+        bid = self._libref.ofdio_enc_blob(
+            self._enc, c.ctypes.data_as(ctypes.c_void_p), c.nbytes,
+            c.dtype.str.encode(), c.ndim, shape,
+            8 if deflate else 0, self.level)
+        self._ids[key] = bid
+        return bid
+
+    def file(self, path: str, entries) -> None:
+        """entries: iterable of (key, array). Queues one npz write."""
+        names = []
+        ids = []
+        for k, a in entries:
+            names.append(k.encode())
+            ids.append(self.blob(np.asanyarray(a)))
+        n = len(names)
+        self._libref.ofdio_enc_file(
+            self._enc, path.encode(), n,
+            (ctypes.c_char_p * n)(*names), (ctypes.c_longlong * n)(*ids))
+
+    def drain(self) -> None:
+        fails = self._libref.ofdio_enc_drain(self._enc)
+        self._keep.clear()
+        self._ids.clear()
+        if fails:
+            err = self._libref.ofdio_enc_last_error(self._enc).decode()
+            raise IOError(f"native shard encode: {fails} file(s) failed "
+                          f"(last error: {err})")
+
+    def close(self) -> None:
+        if self._enc is not None:
+            self._libref.ofdio_enc_free(self._enc)
+            self._enc = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def save_npz(path: str, arrays: Dict[str, np.ndarray], level: int = 1,
+             store_floats: bool = True) -> None:
+    """One-shot native npz write (np.load-compatible); np.savez fallback."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "ofdio_enc_new"):
+        np.savez_compressed(path, **arrays)
+        return
+    enc = ShardEncoder(threads=os.cpu_count() or 2, level=level,
+                       store_floats=store_floats)
+    try:
+        enc.file(path, arrays.items())
+        enc.drain()
+    finally:
+        enc.close()
 
 
 class Prefetcher:

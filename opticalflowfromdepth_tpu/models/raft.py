@@ -210,6 +210,13 @@ class RAFT(nn.Module):
     #   "full" — recompute everything (O(1) activation memory in iters —
     #            use for large-batch / long-iteration runs).
     remat: str = "none"
+    # lax.scan unroll factor for the GRU iterations. Measured (r5, v5e,
+    # 368x496 bs4 bf16 12 iters): the rolled scan costs ~4.8 ms/iteration
+    # over the sum of its pieces (scheduling/fusion barriers at the loop
+    # boundary); unrolling lets XLA fuse across iterations. Compile time
+    # grows with the factor (server-side, cached) — unroll=iters is the
+    # training default via the trainer config.
+    unroll: int = 1
 
     @property
     def corr_radius(self) -> int:
@@ -314,7 +321,8 @@ class RAFT(nn.Module):
         scan = nn.scan(scan_body,
                        variable_broadcast="params",
                        split_rngs={"params": False},
-                       length=iters)
+                       length=iters,
+                       unroll=max(1, min(self.unroll, iters)))
         mask0 = jnp.zeros((b, h8, w8, mask_ch), jnp.float32)
         (net, coords1, mask), flow_ups = scan(
             update, (net, coords1, mask0), None)

@@ -45,6 +45,11 @@ def main(argv=None) -> None:
                    help="stop after N images (smoke runs)")
     p.add_argument("--write_workers", type=int, default=4,
                    help="npz writer threads (compression releases the GIL)")
+    p.add_argument("--deflate_floats", action="store_true",
+                   help="deflate f16 tensors too (native writer stores "
+                        "them raw by default: ~40%% larger shards but "
+                        "several-fold faster host encode — f16 bit "
+                        "patterns barely compress)")
     p.add_argument("--flow_int16", action="store_true",
                    help="store flows as int16 fixed-point (1/64 px, KITTI "
                         "encoding): smaller shards, faster deflate; readers "
@@ -90,7 +95,8 @@ def main(argv=None) -> None:
     base_key = jax.random.PRNGKey(args.seed)
 
     writer = AsyncShardWriter(args.out, workers=args.write_workers,
-                              flow_int16=args.flow_int16)
+                              flow_int16=args.flow_int16,
+                              store_floats=not args.deflate_floats)
     done = 0
     pending = None  # (stem, device tree): transfer AFTER the next dispatch
     t_start = time.time()

@@ -56,12 +56,16 @@ class RAFTTrainConfig:
     min_classify_loss_weight: float = 0.0
     # GRU-scan rematerialization (see models/raft.py:RAFT.remat)
     remat: str = "none"
+    # GRU-scan unroll factor (see models/raft.py:RAFT.unroll); 0 = full
+    # unroll (= iters). Measured +~40% step throughput at 368x496 bs4.
+    unroll: int = 0
 
 
 def build_model(cfg: RAFTTrainConfig) -> RAFT:
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     return RAFT(small=cfg.small, dropout=cfg.dropout, dtype=dtype,
-                remat=cfg.remat)
+                remat=cfg.remat,
+                unroll=cfg.iters if cfg.unroll == 0 else cfg.unroll)
 
 
 def init_state(cfg: RAFTTrainConfig, rng: jax.Array) -> TrainState:

@@ -113,3 +113,100 @@ def test_pool_propagates_errors(tmp_path):
             pool.take(t)
     finally:
         pool.close()
+
+
+# ---------------------------------------------------------------------------
+# native encoder (round 5)
+# ---------------------------------------------------------------------------
+
+def test_encoder_roundtrip_np_load_and_native(tmp_path):
+    """save_npz output must be np.load-compatible (stored + deflated
+    entries) and native-decodable."""
+    rng = np.random.default_rng(1)
+    arrays = {
+        "img": rng.integers(0, 256, (41, 57, 3)).astype(np.uint8),
+        "flow": rng.normal(size=(41, 57, 2)).astype(np.float16),
+        "q16": (rng.normal(0, 300, (41, 57, 2)) * 64).astype(np.int16),
+        "depth": rng.uniform(1, 100, (41, 57)).astype(np.float32),
+        "label": np.int32(6),
+    }
+    for store_floats in (True, False):
+        path = os.path.join(tmp_path, f"e{int(store_floats)}.npz")
+        native_io.save_npz(path, arrays, store_floats=store_floats)
+        with np.load(path) as z:
+            for k, v in arrays.items():
+                np.testing.assert_array_equal(z[k], v, err_msg=k)
+                assert z[k].dtype == np.asarray(v).dtype, k
+        got = native_io.load_npz(path)
+        for k, v in arrays.items():
+            np.testing.assert_array_equal(got[k], v, err_msg=k)
+
+
+def test_encoder_blob_dedup_and_many_files(tmp_path):
+    """One blob shared by many files; every file reads back correctly and
+    the shared entry is identical. Exercises the work-stealing pool with
+    more files than threads."""
+    rng = np.random.default_rng(2)
+    shared = rng.integers(0, 256, (64, 96, 3)).astype(np.uint8)
+    uniq = [rng.normal(size=(64, 96, 2)).astype(np.float16)
+            for _ in range(16)]
+    enc = native_io.ShardEncoder(threads=3)
+    try:
+        for i in range(16):
+            enc.file(os.path.join(tmp_path, f"f{i}.npz"),
+                     [("shared", shared), ("u", uniq[i])])
+        enc.drain()
+    finally:
+        enc.close()
+    for i in range(16):
+        with np.load(os.path.join(tmp_path, f"f{i}.npz")) as z:
+            np.testing.assert_array_equal(z["shared"], shared)
+            np.testing.assert_array_equal(z["u"], uniq[i])
+
+
+def test_encoder_error_reported(tmp_path):
+    enc = native_io.ShardEncoder(threads=2)
+    try:
+        enc.file(os.path.join(tmp_path, "no_such_dir", "x.npz"),
+                 [("a", np.zeros((4, 4), np.float32))])
+        with pytest.raises(IOError):
+            enc.drain()
+    finally:
+        enc.close()
+
+
+def test_async_writer_native_matches_python(tmp_path):
+    """AsyncShardWriter's native backend must produce the same file set
+    with identical decoded content as the Python writer."""
+    import jax
+    import jax.numpy as jnp
+    from opticalflowfromdepth_tpu.synth.pipeline import (
+        synthesize_sample_packed)
+    from opticalflowfromdepth_tpu.synth.writer import (
+        AsyncShardWriter, write_sample_packed)
+
+    rng = np.random.default_rng(0)
+    h, w = 48, 64
+    img = jnp.asarray(rng.uniform(0, 255, (3, h, w)).astype(np.float32))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    dep = jnp.asarray((130 + 70 * np.sin(xx / 19) * np.cos(yy / 23))[None])
+    packed = jax.tree.map(np.asarray, synthesize_sample_packed(
+        jax.random.PRNGKey(0), img, dep))
+
+    nat = os.path.join(tmp_path, "nat")
+    py = os.path.join(tmp_path, "py")
+    wr = AsyncShardWriter(nat, workers=2)
+    assert wr.enc is not None, "native encoder should be available here"
+    wr.submit("t", packed)
+    n = wr.drain()
+    os.makedirs(py)
+    n2 = write_sample_packed(py, "t", packed)
+    assert n == n2
+    fa, fb = sorted(os.listdir(nat)), sorted(os.listdir(py))
+    assert fa == fb
+    for f in fa:
+        with np.load(os.path.join(nat, f)) as za, \
+             np.load(os.path.join(py, f)) as zb:
+            assert sorted(za.files) == sorted(zb.files)
+            for k in za.files:
+                np.testing.assert_array_equal(za[k], zb[k], err_msg=f + k)
