@@ -111,6 +111,13 @@ def main(argv=None) -> None:
                     help="final EPE must be < ratio * initial EPE")
     ap.add_argument("--shard_dir", default=None,
                     help="reuse/keep shards here (default: temp dir)")
+    ap.add_argument("--with_classifier", action="store_true",
+                    help="drive the paper's signature recipe end to end "
+                         "(`adjusted_RAFT/train.py:155-168,196-203`, "
+                         "README.md:109-115): train the aux classifier on "
+                         "the synthesized flows, freeze it, then train the "
+                         "flow model WITH the annealed classifier CE")
+    ap.add_argument("--classifier_steps", type=int, default=200)
     args = ap.parse_args(argv)
 
     import jax
@@ -145,6 +152,55 @@ def main(argv=None) -> None:
 
     mixed = jax.default_backend() == "tpu"
     model_dtype = jnp.bfloat16 if mixed else jnp.float32
+
+    # ---- phase 1 (--with_classifier): train + freeze the aux classifier
+    # on the synthesized ground-truth flows, the capability the reference
+    # only ships weights for (`README.md:113-114`, SURVEY M3) -------------
+    classifier_params = None
+    classifier_model = None
+    cls_metrics = {}
+    if args.with_classifier:
+        from ..train import classifier_train as ct
+
+        ccfg = ct.ClassifierTrainConfig(
+            batch_size=args.batch_size * 2, num_steps=args.classifier_steps,
+            image_size=(args.crop_h, args.crop_w), mixed_precision=mixed)
+        cstate = ct.init_state(ccfg, jax.random.PRNGKey(11))
+        cstep = jax.jit(ct.make_train_step(ccfg), donate_argnums=0)
+        ceval = ct.make_eval_step(ccfg)
+        cloader = Loader(AugmentedShards(shard_dir,
+                                         crop_size=(args.crop_h, args.crop_w),
+                                         seed=7),
+                         batch_size=ccfg.batch_size, num_workers=4,
+                         process_index=0, process_count=1, seed=7)
+        cit = iter(cloader)
+        eval_batches = [{k: jnp.asarray(b[k]) for k in ("flow", "label")}
+                        for b in (next(cit) for _ in range(4))]
+
+        def cls_acc(s):
+            return float(np.mean([float(ceval(s.params, s.batch_stats,
+                                              b)["accuracy"])
+                                  for b in eval_batches]))
+
+        acc0 = cls_acc(cstate)
+        t1 = time.time()
+        for i in range(args.classifier_steps):
+            b = next(cit)
+            cb = {k: jnp.asarray(b[k]) for k in ("flow", "label")}
+            cstate, m = cstep(cstate, cb, jax.random.PRNGKey(1000 + i))
+            if (i + 1) % 50 == 0:
+                print(f"classifier step {i + 1}: "
+                      f"loss {float(m['loss']):.3f} "
+                      f"acc {float(m['accuracy']):.3f}", flush=True)
+        acc1 = cls_acc(cstate)
+        print(f"classifier held-batch accuracy {acc0:.3f} -> {acc1:.3f} "
+              f"({time.time() - t1:.1f}s; chance = 0.25)", flush=True)
+        cls_metrics = {"classifier_acc_initial": round(acc0, 3),
+                       "classifier_acc_final": round(acc1, 3)}
+        classifier_params = {"params": cstate.params,
+                             "batch_stats": cstate.batch_stats}
+        classifier_model = ct.build_model(ccfg)  # frozen from here on
+
     if args.model == "raft":
         from ..models.raft import RAFT
         from ..train.raft_train import (RAFTTrainConfig, init_state,
@@ -153,7 +209,8 @@ def main(argv=None) -> None:
                               num_steps=args.steps,
                               batch_size=args.batch_size,
                               image_size=(args.crop_h, args.crop_w),
-                              mixed_precision=mixed)
+                              mixed_precision=mixed,
+                              add_classifier=args.with_classifier)
         model = RAFT(small=True, dtype=model_dtype)
         fwd = jax.jit(lambda v, a, b: model.apply(
             v, a, b, iters=args.iters, test_mode=True, train=False)[1])
@@ -164,13 +221,15 @@ def main(argv=None) -> None:
         cfg = GMFlowTrainConfig(lr=args.lr, num_steps=args.steps,
                                 batch_size=args.batch_size,
                                 image_size=(args.crop_h, args.crop_w),
-                                mixed_precision=mixed)
+                                mixed_precision=mixed,
+                                add_classifier=args.with_classifier)
         model = GMFlow(num_scales=1, dtype=model_dtype)
         fwd = jax.jit(lambda v, a, b: model.apply(
             v, a, b, attn_splits_list=(2,), corr_radius_list=(-1,),
             prop_radius_list=(-1,), training=False)["flow_preds"][-1])
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    step = jax.jit(make_train_step(cfg, classifier_params, classifier_model),
+                   donate_argnums=0)
 
     held = heldout_pairs(4, args.height, args.width)
 
@@ -194,13 +253,19 @@ def main(argv=None) -> None:
     it = iter(loader)
     t0 = time.time()
     keys = ("image1", "image2", "flow", "valid", "label")
+    first_cls = last_cls = None
     for i in range(args.steps):
         batch = next(it)
         batch = {k: jnp.asarray(batch[k]) for k in keys}
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        if "classify_loss" in metrics:
+            last_cls = float(metrics["classify_loss"])
+            if first_cls is None:
+                first_cls = last_cls
         if (i + 1) % 50 == 0:
+            extra = (f" cls {last_cls:.3f}" if last_cls is not None else "")
             print(f"step {i + 1}: loss {float(metrics['total_loss']):.3f} "
-                  f"epe {float(metrics['epe']):.3f}", flush=True)
+                  f"epe {float(metrics['epe']):.3f}{extra}", flush=True)
     dt = time.time() - t0
     fps = args.steps * args.batch_size / dt
 
@@ -208,6 +273,14 @@ def main(argv=None) -> None:
     result = {"initial_epe": round(epe0, 3), "final_epe": round(epe1, 3),
               "steps": args.steps, "train_frames_per_s": round(fps, 2),
               "ok": epe1 < args.epe_ratio * epe0}
+    result.update(cls_metrics)
+    if first_cls is not None:
+        result["classify_loss_first"] = round(first_cls, 3)
+        result["classify_loss_last"] = round(last_cls, 3)
+        # the frozen classifier must have learned the flow classes; the CE
+        # regularizer rides along for the whole flow training
+        result["ok"] = bool(result["ok"]) and \
+            cls_metrics.get("classifier_acc_final", 0.0) > 0.5
     print(json.dumps(result), flush=True)
     if tmp is not None:
         tmp.cleanup()
