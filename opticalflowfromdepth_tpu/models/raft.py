@@ -51,32 +51,37 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8,
     """Convex-combination upsampling; `raft.py:72-83`.
 
     flow: [B, H, W, 2]; mask: [B, H, W, 9*factor^2] -> [B, f*H, f*W, 2].
-    ``dtype`` is the combination compute dtype: float32 (HIGHEST-precision
-    einsum, bit-stable vs the torch oracle) by default; the bf16 training
-    path passes bfloat16 — the reference's AMP autocast covers its
-    upsample too (`raft.py:127`), and the ~0.4%-relative flow rounding is
-    inside the L1 training-loss noise floor.
+    ``dtype`` is the combination compute dtype: float32 by default; the
+    bf16 training path passes bfloat16 — the reference's AMP autocast
+    covers its upsample too (`raft.py:127`), and the ~0.4%-relative flow
+    rounding is inside the L1 training-loss noise floor.
+
+    TPU note (r5, from a device trace): the earlier einsum-over-patches
+    formulation spent ~15 ms/step (368x496 bs4, 12 iters) materializing a
+    [B, H, W, 9, 2] patches tensor — 9 slice copies + a concatenate in a
+    T(2,128) layout that uses 2 of 128 lanes. This version never builds
+    patches: softmax runs on the [B, H, W, 9, ff] mask and the output is
+    9 shifted multiply-accumulates, all elementwise and fusable. Tap
+    order (ky, kx) row-major with zero padding matches the reference's
+    F.unfold (`raft.py:76-78`) exactly, so ported checkpoints reproduce
+    border behavior.
     """
     b, h, w, _ = flow.shape
     f = factor
-    mask = mask.reshape(b, h, w, 9, f * f)
+    ff = f * f
+    mask = mask.reshape(b, h, w, 9, ff)
     mask = jax.nn.softmax(mask.astype(jnp.float32), axis=3)
+    cdtype = jnp.float32 if dtype == jnp.float32 else dtype
+    mask = mask.astype(cdtype)
 
-    # 3x3 neighborhoods of f*flow: [B, H, W, 9, 2], tap order (ky, kx)
-    # row-major with zero padding — exactly the reference's F.unfold
-    # (`raft.py:76-78`), so ported checkpoints reproduce border behavior.
-    fp = jnp.pad(f * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    patches = jnp.stack(
-        [fp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],
-        axis=3)
-
-    if dtype == jnp.float32:
-        up = jnp.einsum("bhwkf,bhwkc->bhwfc", mask, patches,
-                        precision=jax.lax.Precision.HIGHEST)
-    else:
-        up = jnp.einsum("bhwkf,bhwkc->bhwfc", mask.astype(dtype),
-                        patches.astype(dtype),
-                        preferred_element_type=jnp.float32)
+    fp = jnp.pad((f * flow).astype(cdtype),
+                 ((0, 0), (1, 1), (1, 1), (0, 0)))
+    up = jnp.zeros((b, h, w, ff, 2), cdtype)
+    for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                 for dx in range(3)):
+        # [B, H, W, ff, 1] * [B, H, W, 1, 2] — elementwise, no gather
+        up = up + mask[:, :, :, k, :, None] * \
+            fp[:, dy:dy + h, dx:dx + w, None, :]
     up = up.reshape(b, h, w, f, f, 2)
     up = up.transpose(0, 1, 3, 2, 4, 5)  # [B, H, f, W, f, 2]
     return up.reshape(b, h * f, w * f, 2)
@@ -202,6 +207,13 @@ class RAFT(nn.Module):
     alternate_corr: bool = False
     corr_levels: int = 4
     dtype: Dtype = jnp.float32  # compute dtype for encoders/GRU
+    # correlation implementation:
+    #   "pyramid" — XLA indicator-matmul lookup over a prebuilt volume
+    #               (bit-matched to the torch oracle; works everywhere);
+    #   "fused"   — Pallas kernel with hand-written backward
+    #               (ops/fused_corr.py): the volume and its gradient live
+    #               only in VMEM tiles; interpret-mode off-TPU.
+    corr_impl: str = "pyramid"
     # backward rematerialization of the GRU scan body:
     #   "none" — no remat (default; fastest: 167 vs 202 ms/step at
     #            368x496 bs4 bf16 12 iters, ~1 GB of saved activations);
@@ -211,11 +223,9 @@ class RAFT(nn.Module):
     #            use for large-batch / long-iteration runs).
     remat: str = "none"
     # lax.scan unroll factor for the GRU iterations. Measured (r5, v5e,
-    # 368x496 bs4 bf16 12 iters): the rolled scan costs ~4.8 ms/iteration
-    # over the sum of its pieces (scheduling/fusion barriers at the loop
-    # boundary); unrolling lets XLA fuse across iterations. Compile time
-    # grows with the factor (server-side, cached) — unroll=iters is the
-    # training default via the trainer config.
+    # 368x496 bs4 bf16 12 iters): no throughput effect (167.0 ms rolled,
+    # 167.2 unroll=4, 169.9 unroll=12) — XLA's per-iteration schedule is
+    # already the steady state; kept as a knob for future shapes.
     unroll: int = 1
 
     @property
@@ -261,6 +271,12 @@ class RAFT(nn.Module):
         if self.alternate_corr:
             corr_fn = lambda c: on_demand_corr(
                 fmap1, fmap2, c, self.corr_levels, radius, dtype=self.dtype)
+        elif self.corr_impl == "fused":
+            from ..ops.fused_corr import fused_corr_lookup
+            interp = jax.default_backend() != "tpu"
+            corr_fn = lambda c: fused_corr_lookup(
+                fmap1, fmap2, c, self.corr_levels, radius, self.dtype,
+                256, interp)
         else:
             pyramid = CorrPyramid(fmap1, fmap2, self.corr_levels, radius,
                                   dtype=self.dtype)
