@@ -47,7 +47,8 @@ def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
 
 
 def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8,
-                    dtype: Dtype = jnp.float32) -> jnp.ndarray:
+                    dtype: Dtype = jnp.float32,
+                    pixel_shuffle: bool = True) -> jnp.ndarray:
     """Convex-combination upsampling; `raft.py:72-83`.
 
     flow: [B, H, W, 2]; mask: [B, H, W, 9*factor^2] -> [B, f*H, f*W, 2].
@@ -82,9 +83,34 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8,
         # [B, H, W, ff, 1] * [B, H, W, 1, 2] — elementwise, no gather
         up = up + mask[:, :, :, k, :, None] * \
             fp[:, dy:dy + h, dx:dx + w, None, :]
-    up = up.reshape(b, h, w, f, f, 2)
-    up = up.transpose(0, 1, 3, 2, 4, 5)  # [B, H, f, W, f, 2]
-    return up.reshape(b, h * f, w * f, 2)
+    if not pixel_shuffle:
+        return up                       # blocked layout [B, h, w, f*f, 2]
+    return unblock_pixels(up, f)
+
+
+def unblock_pixels(up: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """Blocked [B, h, w, f*f, C] -> full-res [B, h*f, w*f, C]
+    (depth-to-space; the inverse of :func:`block_pixels`)."""
+    b, h, w, ff, c = up.shape
+    f = factor
+    up = up.reshape(b, h, w, f, f, c)
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # [B, h, f, w, f, C]
+    return up.reshape(b, h * f, w * f, c)
+
+
+def block_pixels(x: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """Full-res [B, H, W, ...] -> blocked [B, h, w, f*f, ...]
+    (space-to-depth). Training supervision runs in this layout: a device
+    trace showed ~10 ms/step of pure relayout when every GRU iteration's
+    upsampled flow crossed the pixel-shuffle boundary; instead the ground
+    truth and valid mask are blocked ONCE per step, and the per-iteration
+    L1/EPE reductions see the same value multiset in blocked order."""
+    b, hh, ww = x.shape[:3]
+    f = factor
+    rest = x.shape[3:]
+    x = x.reshape((b, hh // f, f, ww // f, f) + rest)
+    x = jnp.moveaxis(x, 2, 3)            # [B, h, w, f, f, ...]
+    return x.reshape((b, hh // f, ww // f, f * f) + rest)
 
 
 class FlowHead(nn.Module):
@@ -214,6 +240,11 @@ class RAFT(nn.Module):
     #               (ops/fused_corr.py): the volume and its gradient live
     #               only in VMEM tiles; interpret-mode off-TPU.
     corr_impl: str = "pyramid"
+    # training-only: return per-iteration flow predictions in the BLOCKED
+    # [B, h, w, 64, 2] layout (see block_pixels) — callers must block the
+    # ground truth/valid the same way. No effect in test_mode / on the
+    # small model (whose upflow8 path has no block structure).
+    blocked_supervision: bool = False
     # backward rematerialization of the GRU scan body:
     #   "none" — no remat (default; fastest: 167 vs 202 ms/step at
     #            368x496 bs4 bf16 12 iters, ~1 GB of saved activations);
@@ -272,11 +303,19 @@ class RAFT(nn.Module):
             corr_fn = lambda c: on_demand_corr(
                 fmap1, fmap2, c, self.corr_levels, radius, dtype=self.dtype)
         elif self.corr_impl == "fused":
-            from ..ops.fused_corr import fused_corr_lookup
+            from ..ops.fused_corr import (corr_levels_cat,
+                                          fused_corr_lookup_cat)
             interp = jax.default_backend() != "tpu"
-            corr_fn = lambda c: fused_corr_lookup(
-                fmap1, fmap2, c, self.corr_levels, radius, self.dtype,
-                256, interp)
+            # packed pyramid built ONCE (hoisted out of the GRU scan; its
+            # VJP also runs once — the scan accumulates feature-sized
+            # d_f2cat constant-cotangents)
+            f2cat = corr_levels_cat(fmap2, self.corr_levels, self.dtype)
+            f1flat = fmap1.astype(self.dtype).reshape(
+                fmap1.shape[0], -1, fmap1.shape[-1])
+            corr_fn = lambda c: fused_corr_lookup_cat(
+                f1flat, f2cat, c.reshape(c.shape[0], -1, 2),
+                fmap1.shape[1], fmap1.shape[2], self.corr_levels, radius,
+                256, interp).reshape(c.shape[0], c.shape[1], c.shape[2], -1)
         else:
             pyramid = CorrPyramid(fmap1, fmap2, self.corr_levels, radius,
                                   dtype=self.dtype)
@@ -320,7 +359,8 @@ class RAFT(nn.Module):
             else:
                 flow_up = convex_upsample(
                     coords1 - coords0, up_mask.astype(jnp.float32),
-                    dtype=self.dtype)
+                    dtype=self.dtype,
+                    pixel_shuffle=not self.blocked_supervision)
             # stack the per-iteration supervision targets in the compute
             # dtype (the loss upcasts); halves the 12x full-res ys traffic
             return (net, coords1, mask32), flow_up.astype(self.dtype)

@@ -65,12 +65,25 @@ class RAFTTrainConfig:
     # fused Pallas kernel is the training default — volume + d_corr live
     # in VMEM only (interpret-mode off-TPU, so CPU runs work unchanged)
     corr_impl: str = "fused"
+    # supervise in the blocked [B, h, w, 64, 2] layout (basic model
+    # only; gt blocked once per step). Measured on-chip via interleaved
+    # A/B at 368x496 bs4: consistently ~5 ms/step SLOWER than full-res
+    # supervision (129.2 vs 123.6 ms — the per-iteration pixel-shuffle
+    # relayouts sit off the critical path and the blocked ys stacking
+    # fuses worse), so full-res stays the default; kept as a knob for
+    # other shapes.
+    blocked_supervision: bool = False
+
+
+def _blocked(cfg: "RAFTTrainConfig") -> bool:
+    return cfg.blocked_supervision and not cfg.small
 
 
 def build_model(cfg: RAFTTrainConfig) -> RAFT:
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     return RAFT(small=cfg.small, dropout=cfg.dropout, dtype=dtype,
                 remat=cfg.remat, corr_impl=cfg.corr_impl,
+                blocked_supervision=_blocked(cfg),
                 unroll=cfg.iters if cfg.unroll == 0 else cfg.unroll)
 
 
@@ -130,14 +143,24 @@ def make_train_step(cfg: RAFTTrainConfig,
                 train=not cfg.freeze_bn, rngs={"dropout": key})
             new_model_state = {}
 
-        loss, metrics = sequence_loss(flow_preds, batch["flow"],
-                                      batch["valid"], cfg.gamma)
+        flow_gt, valid = batch["flow"], batch["valid"]
+        if _blocked(cfg):
+            # preds come back blocked [B, h, w, 64, 2]; block gt/valid
+            # ONCE — the L1/EPE reductions see the same value multiset
+            from ..models.raft import block_pixels
+            flow_gt = block_pixels(flow_gt)
+            valid = block_pixels(valid)
+        loss, metrics = sequence_loss(flow_preds, flow_gt, valid, cfg.gamma)
         if cfg.add_classifier and classifier_params is not None:
+            final_pred = flow_preds[-1]
+            if _blocked(cfg):
+                from ..models.raft import unblock_pixels
+                final_pred = unblock_pixels(final_pred)
             logits = classifier_model.apply(
                 {"params": classifier_params["params"],
                  **({"batch_stats": classifier_params["batch_stats"]}
                     if classifier_params.get("batch_stats") else {})},
-                flow_preds[-1], train=False)
+                final_pred, train=False)
             c_loss = classifier_loss(logits, batch["label"])
             metrics["classify_loss"] = c_loss
             loss = loss + c_loss * batch["classify_weight"]

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import pytest
 
@@ -92,3 +93,46 @@ def test_classifier_logits_shape():
     variables = model.init(jax.random.PRNGKey(0), flow, train=False)
     logits = model.apply(variables, flow, train=False)
     assert logits.shape == (2, 4)
+
+
+def test_blocked_supervision_matches_full_res():
+    """Training in the blocked [B, h, w, 64, 2] supervision layout must
+    produce the same loss/metrics/updates as full-res supervision — the
+    reductions see the same value multiset (r5 perf layout change)."""
+    from opticalflowfromdepth_tpu.train import raft_train as rt
+
+    rng = np.random.default_rng(0)
+    b, h, w = 2, 32, 48
+    batch = {
+        "image1": jnp.asarray(
+            rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)),
+        "image2": jnp.asarray(
+            rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)),
+        "flow": jnp.asarray(
+            rng.normal(0, 4, (b, h, w, 2)).astype(np.float32)),
+        "valid": jnp.asarray(
+            (rng.uniform(0, 1, (b, h, w)) > 0.1).astype(np.float32)),
+        "label": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32),
+                          (b, 1)),
+    }
+    metrics = {}
+    states = {}
+    for blocked in (False, True):
+        cfg = rt.RAFTTrainConfig(
+            small=False, iters=2, batch_size=b, image_size=(h, w),
+            mixed_precision=False, corr_impl="pyramid",
+            blocked_supervision=blocked)
+        state = rt.init_state(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(rt.make_train_step(cfg))
+        s2, m = step(state, batch, jax.random.PRNGKey(1))
+        metrics[blocked] = m
+        states[blocked] = s2
+    for k in metrics[False]:
+        np.testing.assert_allclose(
+            float(metrics[True][k]), float(metrics[False][k]),
+            rtol=2e-5, atol=1e-6, err_msg=k)
+    # parameter updates identical too
+    la, lb = (jax.flatten_util.ravel_pytree(states[True].params)[0],
+              jax.flatten_util.ravel_pytree(states[False].params)[0])
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-4, atol=1e-6)
