@@ -158,6 +158,14 @@ def main(argv=None) -> None:
                 corr_radius_list=cfg.corr_radius_list,
                 prop_radius_list=cfg.prop_radius_list)
 
+    # `{num_params}_parameters` touch-file sidecar
+    # (`adjusted_gmflow/main.py:226-228`): a glanceable model-size marker
+    # next to args.json
+    num_params = sum(int(p.size) for p in jax.tree.leaves(state.params))
+    open(os.path.join(args.log_dir, f"{num_params}_parameters"),
+         "w").close()
+    print(f"model parameters: {num_params}")
+
     if args.restore_weights:
         state = state.replace(params=load_weights(args.restore_weights,
                                                   state.params))

@@ -53,6 +53,8 @@ def test_train_cli_end_to_end_and_resume(tiny_shards, tmp_path):
     assert os.path.isdir(os.path.join(ckpts, "latest"))
     assert os.path.isdir(os.path.join(ckpts, "step_4_weights"))
     assert os.path.exists(os.path.join(log_dir, "args.json"))
+    # `{num_params}_parameters` touch-file (`main.py:226-228`)
+    assert [f for f in os.listdir(log_dir) if f.endswith("_parameters")]
 
     # full resume continues from step 4 and saves the next numbered ckpt
     train_cli.main(common + ["--num_steps", "8",
