@@ -66,7 +66,11 @@ tunnel-bound e2e metric only runs with its full 240 s floor remaining.
 Train metrics carry an ``mfu`` field: model-FLOPs-utilization computed
 from the compiled step's XLA cost analysis (flops / step-time / 197 TFLOP/s
 v5e bf16 peak) — a measured utilization, independent of the estimated
-V100 vs_baseline denominators.
+V100 vs_baseline denominators. CAVEAT: XLA counts zero FLOPs for Pallas
+custom-calls, so the RAFT value UNDERCOUNTS once the fused correlation
+kernel is in the step (its ~530 GFLOP/step of in-kernel matmuls are
+invisible); the analytic RAFT utilization is ~11% (see PROGRESS.md).
+GMFlow's step has no Pallas and its mfu is accurate.
 
 Budget: BENCH_BUDGET_S (default 500 s — sized so that with a ~600 s
 external deadline, even the tunnel-bound e2e metric can finish). Exit
