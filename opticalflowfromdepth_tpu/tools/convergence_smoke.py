@@ -118,6 +118,9 @@ def main(argv=None) -> None:
                          "the synthesized flows, freeze it, then train the "
                          "flow model WITH the annealed classifier CE")
     ap.add_argument("--classifier_steps", type=int, default=200)
+    ap.add_argument("--basic", action="store_true",
+                    help="RAFT-basic instead of RAFT-small (the mixed "
+                         "recipe's model, `README.md:109-115`)")
     args = ap.parse_args(argv)
 
     import jax
@@ -205,13 +208,15 @@ def main(argv=None) -> None:
         from ..models.raft import RAFT
         from ..train.raft_train import (RAFTTrainConfig, init_state,
                                         make_train_step)
-        cfg = RAFTTrainConfig(small=True, iters=args.iters, lr=args.lr,
+        small = not args.basic
+        cfg = RAFTTrainConfig(small=small, iters=args.iters, lr=args.lr,
                               num_steps=args.steps,
                               batch_size=args.batch_size,
                               image_size=(args.crop_h, args.crop_w),
                               mixed_precision=mixed,
                               add_classifier=args.with_classifier)
-        model = RAFT(small=True, dtype=model_dtype)
+        model = RAFT(small=small, dtype=model_dtype,
+                     corr_impl=cfg.corr_impl)
         fwd = jax.jit(lambda v, a, b: model.apply(
             v, a, b, iters=args.iters, test_mode=True, train=False)[1])
     else:

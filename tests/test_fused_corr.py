@@ -107,3 +107,44 @@ def test_fused_query_padding():
                                atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(g2f), np.asarray(g2r),
                                atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_fused_corr_under_sharded_mesh():
+    """The fused path must produce the same losses as the pyramid path
+    when the train step runs pjit-sharded over the 8-device CPU mesh
+    (GSPMD treats the pallas call as replicated — correctness must hold
+    regardless of partitioning choices)."""
+    from opticalflowfromdepth_tpu.parallel.mesh import make_mesh, shard_batch
+    from opticalflowfromdepth_tpu.train import raft_train as rt
+
+    rng = np.random.default_rng(0)
+    b, h, w = 8, 32, 48
+    batch = {
+        "image1": jnp.asarray(
+            rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)),
+        "image2": jnp.asarray(
+            rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)),
+        "flow": jnp.asarray(
+            rng.normal(0, 4, (b, h, w, 2)).astype(np.float32)),
+        "valid": jnp.ones((b, h, w), np.float32),
+        "label": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32),
+                          (b, 1)),
+    }
+    losses = {}
+    mesh = make_mesh()
+    with mesh:
+        for impl in ("pyramid", "fused"):
+            cfg = rt.RAFTTrainConfig(
+                small=True, iters=2, batch_size=b, image_size=(h, w),
+                mixed_precision=False, corr_impl=impl)
+            state = rt.init_state(cfg, jax.random.PRNGKey(0))
+            step = jax.jit(rt.make_train_step(cfg))
+            seq = []
+            for i in range(2):
+                state, m = step(state, shard_batch(mesh, batch),
+                                jax.random.PRNGKey(i))
+                seq.append(float(m["total_loss"]))
+            losses[impl] = seq
+    np.testing.assert_allclose(losses["fused"], losses["pyramid"],
+                               rtol=1e-4)
