@@ -8,6 +8,10 @@ Differencing experiments on the real chip (dev tool, not in the suite):
      einsums bwd + cross-iteration d_corr accumulation + volume matmul bwd)
   3. standalone grad of ONE pyramid lookup wrt (f1, f2)
   4. standalone grad of 12 chained lookups (accumulation pattern)
+     CAVEAT on 3/4: the loss is a plain sum, so the lookup cotangent is
+     ALL-ONES and XLA constant-folds most of the backward — these
+     standalone numbers UNDERSTATE the real in-situ backward (use the
+     corr-stubbed differencing in 1/2 instead; kept as a recorded trap)
   5. standalone grad of the update block
   6. standalone grad of convex upsample
 
