@@ -36,6 +36,11 @@ def main(argv=None) -> None:
                    help="matched/unmatched EPE via Sintel occlusion maps")
     p.add_argument("--iters", type=int, default=24)
     p.add_argument("--small", action="store_true")
+    p.add_argument("--corr_impl", choices=("pyramid", "fused"),
+                   default="pyramid",
+                   help="RAFT correlation path: 'pyramid' (bit-matched "
+                        "to the torch oracle) or the 'fused' Pallas "
+                        "kernel (faster on TPU; the training default)")
     p.add_argument("--num_scales", type=int, default=1)
     p.add_argument("--upsample_factor", type=int, default=8)
     p.add_argument("--attn_splits_list", type=int, nargs="+", default=[2])
@@ -66,7 +71,8 @@ def main(argv=None) -> None:
 
     if args.model == "raft":
         from ..models.raft import RAFT
-        model = RAFT(small=args.small, dtype=jnp.bfloat16)
+        model = RAFT(small=args.small, dtype=jnp.bfloat16,
+                     corr_impl=args.corr_impl)
         template = jax.jit(lambda r: model.init(
             r, dummy, dummy, iters=1, train=False))(jax.random.PRNGKey(0))
         if template.get("batch_stats") is not None:
