@@ -470,24 +470,32 @@ class FeatureFlowAttention(nn.Module):
             return out.reshape(b, h, w, 2)
 
         # local window attention (`transformer.py:376-409`); key here is
-        # k_proj(feature0), not k_proj(query)
+        # k_proj(feature0), not k_proj(query). ks^2 shifted dot/MAC pairs
+        # instead of conv_general_dilated_patches: the patches tensor
+        # [B, C, ks^2, H, W] is ks^2 x the feature map (~200 MB at the
+        # 1/4-res refinement scale) while the shifted form keeps peak
+        # memory at one padded map; window order matches the patches
+        # op's channel-major (ky, kx) layout (zero padding both ways).
         ks = 2 * local_window_radius + 1
+        r = local_window_radius
         key = k_proj(feature0.reshape(b, h * w, c))
         key_map = key.reshape(b, h, w, c)
-        key_win = jax.lax.conv_general_dilated_patches(
-            key_map.transpose(0, 3, 1, 2), (ks, ks), (1, 1), "SAME")
-        # [B, C*ks*ks, H, W] channel-major (c, ky, kx)
-        key_win = key_win.reshape(b, c, ks * ks, h, w)
-        flow_win = jax.lax.conv_general_dilated_patches(
-            flow.transpose(0, 3, 1, 2), (ks, ks), (1, 1), "SAME")
-        flow_win = flow_win.reshape(b, 2, ks * ks, h, w)
+        kp = jnp.pad(key_map, ((0, 0), (r, r), (r, r), (0, 0)))
+        fp = jnp.pad(flow, ((0, 0), (r, r), (r, r), (0, 0)))
 
         q = query.reshape(b, h, w, c)
-        scores = jnp.einsum("bhwc,bckhw->bhwk", q, key_win,
-                            preferred_element_type=jnp.float32) / (c ** 0.5)
+        scores = jnp.stack(
+            [jnp.einsum("bhwc,bhwc->bhw", q,
+                        kp[:, dy:dy + h, dx:dx + w, :],
+                        preferred_element_type=jnp.float32)
+             for dy in range(ks) for dx in range(ks)],
+            axis=-1) / (c ** 0.5)                        # [B, H, W, ks^2]
         prob = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhwk,bdkhw->bhwd", prob, flow_win,
-                         preferred_element_type=jnp.float32)
+        out = jnp.zeros((b, h, w, 2), jnp.float32)
+        for k, (dy, dx) in enumerate((dy, dx) for dy in range(ks)
+                                     for dx in range(ks)):
+            out = out + prob[..., k:k + 1] * \
+                fp[:, dy:dy + h, dx:dx + w, :].astype(jnp.float32)
         return out
 
 
