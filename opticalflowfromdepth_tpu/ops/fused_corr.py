@@ -226,6 +226,12 @@ def fused_corr_lookup_cat(f1: jnp.ndarray, f2cat: jnp.ndarray,
     feature-sized (d_f1, d_f2cat) per call, so the scan accumulates small
     constant-cotangents and the cat's own VJP runs once per step.
     Gradients w.r.t. coords are zero (RAFT detaches them, `raft.py:123`).
+
+    VMEM bound: the kernel holds ~[R, block_q] f32 correlation (+ its
+    gradient and an [R, C] f32 d_f2cat block in the backward) in VMEM;
+    at training resolutions far beyond ~500x700 (1/8-res R ~ 6-8k rows)
+    reduce ``block_q`` or fall back to ``corr_impl='pyramid'`` — Mosaic
+    fails loudly at compile time, never silently.
     """
     out, _ = _cat_fwd(f1, f2cat, coords, h2, w2, num_levels, radius,
                       block_q, interpret)

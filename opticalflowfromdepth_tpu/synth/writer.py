@@ -262,6 +262,7 @@ class AsyncShardWriter:
         if self.enc is None:
             self.pool = ThreadPoolExecutor(max_workers=workers)
         self._count = 0
+        self._pending = 0
 
     def submit(self, stem: str, sample: Dict[str, np.ndarray]) -> None:
         # callers pass host arrays (jax.tree.map(np.asarray, ...)); device
@@ -272,7 +273,7 @@ class AsyncShardWriter:
             # every other image so a long synthesis run stays bounded at
             # ~2 images of pinned host memory while still overlapping the
             # previous image's encode with this one's fetch
-            self._pending = getattr(self, "_pending", 0) + 1
+            self._pending += 1
             if self._pending > 2:
                 self.enc.drain()
                 self._pending = 1
