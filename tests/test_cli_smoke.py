@@ -120,3 +120,51 @@ def test_eval_cli_inference_dir(tiny_shards, tmp_path):
     from opticalflowfromdepth_tpu.data import frame_io
     flo = frame_io.read_flo(os.path.join(out, "f0_pred.flo"))
     assert flo.shape == (52, 70, 2) and np.isfinite(flo).all()
+
+
+@pytest.mark.slow
+def test_synth_cli_end_to_end(tmp_path):
+    """The production synthesis CLI on a fake ReDWeb tree: source reader
+    -> bucketed device synthesis -> native/async shard writer -> shards
+    readable by the training reader (r5: exercises the native encoder
+    through the CLI path)."""
+    import cv2
+    from opticalflowfromdepth_tpu.synth import cli as synth_cli
+    from opticalflowfromdepth_tpu.data.datasets import (
+        AugmentedShards, DepthToFlowShards)
+
+    root = tmp_path / "redweb"
+    (root / "Imgs").mkdir(parents=True)
+    (root / "RDs").mkdir()
+    rng = np.random.default_rng(0)
+    h, w = 80, 112
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i in range(2):
+        img = np.clip(np.stack(
+            [np.sin(xx / 9 + i + c) * np.cos(yy / 11) * 90 + 120
+             for c in range(3)], -1) +
+            rng.uniform(0, 25, (h, w, 3)), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(root / "Imgs" / f"s{i}.jpg"), img)
+        closeness = np.clip(
+            120 + 60 * np.sin(xx / 23 + i) * np.cos(yy / 31), 0,
+            240).astype(np.uint8)
+        cv2.imwrite(str(root / "RDs" / f"s{i}.png"), closeness)
+    lst = tmp_path / "list.txt"
+    lst.write_text("s0.jpg\ns1.jpg\n")
+
+    out = str(tmp_path / "shards")
+    synth_cli.main(["--dataset", "ReDWeb", "--data_root", str(root),
+                    "--list_file", str(lst), "--out", out,
+                    "--height", "48", "--width", "64", "--limit", "1",
+                    "--epochs", "1", "--write_workers", "2"])
+    files = sorted(os.listdir(out))
+    assert sum(f.endswith("_group.npz") for f in files) == 1
+    assert sum("_g" in f and "_a" in f for f in files) == 60
+
+    ds = AugmentedShards(out, crop_size=(32, 48), seed=0)
+    s = ds[0]
+    assert s["image1"].shape == (32, 48, 3)
+    assert np.isfinite(s["flow"]).all()
+    d3 = DepthToFlowShards(out, seed=0)
+    s3 = d3[0]
+    assert s3["label"].argmax() == 0
